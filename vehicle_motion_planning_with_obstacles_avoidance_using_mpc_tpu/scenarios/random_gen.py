@@ -1,0 +1,79 @@
+"""Randomized scenario generation for pod-scale sweeps.
+
+The reference has no such facility (its "configuration" is editing
+``main.py``, SURVEY.md section 5); this generator produces batches of
+corridor worlds in demo1's family — random block obstacle, random dynamic
+crossing obstacle — as a stacked :class:`Scenario` pytree ready for
+``vmap``/``pjit``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from .build import Scenario, ShapeSpec, build_scenario
+from .demos import DemoSpec, MPCParams, TerminalPolicy, get_demo
+
+
+def random_scenarios(seed: int, batch: int, base: str = "demo1"):
+    """Build a batch of randomized demo1-style corridors.
+
+    Returns (stacked Scenario with leading axis `batch`, ShapeSpec).
+    Host-side (numpy RNG) — this is data construction, not the hot path.
+    """
+    rng = np.random.default_rng(seed)
+    base_spec = get_demo(base)
+    specs = []
+    for _ in range(batch):
+        bx = float(rng.uniform(8.0, 28.0))       # block left edge
+        bw = float(rng.uniform(3.0, 6.0))        # block width
+        by0 = float(rng.choice([1.0, 3.0]))      # bottom or floating
+        bh = float(rng.uniform(3.0, 5.0))
+        block = (
+            (bx, by0), (bx, by0 + bh), (bx + bw, by0 + bh),
+            (bx + bw, by0), (bx, by0),
+        )
+        xu = base_spec.x_hi
+        lobs = (
+            ((xu[0], xu[1] - 1), (0.0, xu[1] - 1)),
+            block,
+            ((0.0, 1.0), (xu[0], 1.0)),
+        )
+        rects = (
+            ((xu[0], xu[1] - 1), (0.0, xu[1] - 1), (0.0, xu[1]), (xu[0], xu[1])),
+            block,
+            ((0.0, 1.0), (xu[0], 1.0), (xu[0], 0.0), (0.0, 0.0)),
+        )
+        # place the crossing obstacle clear of the block: to its right when
+        # there is room, otherwise in the approach corridor on the left
+        right_lo, right_hi = bx + bw + 4.0, xu[0] - 6.0
+        if right_lo < right_hi:
+            dcx = float(rng.uniform(right_lo, right_hi))
+        else:
+            dcx = float(rng.uniform(6.0, bx - 4.0))
+        dv = float(rng.uniform(0.1, 0.3))
+        dyn = ((dcx, 0.0, np.pi / 2, 3.0, 3.0, dv, dcx, 9.0, np.pi / 2, 0.0, 55.0),)
+        specs.append(
+            DemoSpec(
+                name=f"rand{seed}",
+                x_lo=base_spec.x_lo,
+                x_hi=base_spec.x_hi,
+                start=base_spec.start,
+                goal=base_spec.goal,
+                static_lobs=lobs,
+                grid_rects=rects,
+                dyn_obs_info=dyn,
+                terminal_set=base_spec.terminal_set,
+                terminal_policy=base_spec.terminal_policy,
+                sense_dis=base_spec.sense_dis,
+                params=base_spec.params,
+            )
+        )
+    shape = None
+    built = []
+    for s in specs:
+        scn, shape = build_scenario(s, shape)
+        built.append(scn)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *built)
+    return Scenario(*stacked), shape
