@@ -1,0 +1,352 @@
+"""The OBCA optimal-control NLP as pure, shape-static residual functions.
+
+This is the mathematical re-statement of the reference's CasADi problem
+builders (``src/obca.py``) for the three live variants (SURVEY.md 2.3):
+
+  * ``free``        — time-optimal, terminal equality, obstacles frozen at
+                      step 0 (``obca_mpc4``, src/obca.py:828-1071)
+  * ``fix_terminal``— fixed Ts, terminal *set*, obstacles move across the
+                      horizon (``obca_mpc6``, src/obca.py:1361-1562)
+  * ``fix_free_end``— fixed Ts, no terminal constraint; the infeasibility
+                      fallback (``obca_mpc8``, src/obca.py:1564-1758)
+
+Shared structure (SURVEY.md 2.2): unicycle forward-Euler dynamics, quadratic
+tracking + input + finite-difference acceleration + terminal costs, the
+time cost ``sum 10*T + T^2`` (free), box/accel bounds, and per (k, obstacle)
+the three OBCA conditions with duals lambda (per obstacle edge) and mu (per
+ego face):
+  1. || A_i^T lam_i ||^2 <= 1                        (src/obca.py:992-997)
+  2. G^T mu_i + R(th)^T A_i^T lam_i = 0              (src/obca.py:1006-1011)
+  3. -g^T mu_i + (A_i t(x_k) - b_i)^T lam_i >= dmin  (src/obca.py:1018-1042)
+
+Obstacles are dense time-indexed tensors ``A[k, i, e, 2], b[k, i, e]`` with
+validity masks instead of the reference's ragged row cursor
+(src/obca.py:968-981): the ``free`` variant passes ``A[k] = A[0]`` (frozen),
+the fix variants pass moving tensors — reproducing the cursor-reset
+difference between variants exactly (SURVEY.md 2.2 "critical indexing
+semantics").
+
+Masking scheme (what makes one compiled shape serve every demo):
+  * inactive obstacle / padded edge duals are pulled to zero by a quadratic
+    penalty in the objective (keeps the KKT system nonsingular — no
+    degenerate constraint rows),
+  * their stationarity rows degrade to ``mu0 - mu2 = 0`` / ``mu1 - mu3 = 0``
+    (full-rank, satisfied at zero),
+  * their inequality rows become the constant ``1 >= 0``.
+
+Everything is traced: `vmap` over a batch of OBCAData gives batched NLPs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class OBCASpec:
+    """Static problem shape — a jit static argument / cache key."""
+
+    N: int
+    n_obs: int
+    e_max: int
+    variant: str  # 'free' | 'fix_terminal' | 'fix_free_end'
+    nx: int = 3
+    nu: int = 2
+    # Tiny proximal term on the active OBCA duals. The (lambda, mu)
+    # multipliers of a polytope contact are not unique (LICQ fails at
+    # face-to-face contacts), which lets interior-point duals run off along
+    # a degenerate ray; this selects the minimum-norm multiplier while
+    # perturbing the trajectory only at O(dual_reg) — the standard
+    # "relaxed OBCA" device.
+    dual_reg: float = 1e-6
+
+    def __post_init__(self):
+        assert self.variant in ("free", "fix_terminal", "fix_free_end")
+
+    @property
+    def free_time(self):
+        return self.variant == "free"
+
+
+class OBCAData(NamedTuple):
+    """Traced per-problem data; vmap over a leading batch axis."""
+
+    x0: jnp.ndarray          # (3,)
+    u0: jnp.ndarray          # (2,) previous applied input (accel anchor)
+    xref: jnp.ndarray        # (3, N+1)
+    A: jnp.ndarray           # (N+1, nO, E, 2) hyperplane normals per step
+    b: jnp.ndarray           # (N+1, nO, E)
+    edge_mask: jnp.ndarray   # (nO, E)
+    obs_mask: jnp.ndarray    # (nO,)
+    x_lo: jnp.ndarray        # (2,)
+    x_hi: jnp.ndarray        # (2,)
+    u_lo: jnp.ndarray        # (2,)
+    u_hi: jnp.ndarray        # (2,)
+    Q: jnp.ndarray           # (3, 3)
+    R1: jnp.ndarray          # (2, 2)
+    R2: jnp.ndarray          # (2, 2)
+    P: jnp.ndarray           # (3, 3)
+    Ts: jnp.ndarray          # ()
+    dmin: jnp.ndarray        # ()
+    ego_g: jnp.ndarray       # (4,) [L/2, W/2, L/2, W/2]
+    ego_offset: jnp.ndarray  # () (ego0+ego2)/2 - ego2
+    terminal_set: jnp.ndarray  # (2, 2) rows: x/y, cols: lo/hi
+    T_max: jnp.ndarray       # () free-time upper bound on the time scale
+    a_max: jnp.ndarray       # ()
+    alpha_max: jnp.ndarray   # ()
+    time_c1: jnp.ndarray     # ()
+    time_c2: jnp.ndarray     # ()
+
+
+_PIN_RHO = 1.0  # curvature of the padded-dual zero penalty
+_T_MIN = 1e-4   # src/obca.py:963 lower Topt bound
+
+
+def init_vars(spec: OBCASpec, data: OBCAData, x_init=None, warm_duals=True):
+    """Initial variables for a solve.
+
+    The reference cold-starts every replan (CasADi zeros, Topt init 1,
+    src/obca.py:856) and leans on IPOPT's globalization. Here the hierarchy
+    itself provides the globalization: states start on the (collision-free)
+    reference window, the time scale starts at its reachability estimate,
+    inputs at the implied velocities, and the OBCA duals at their analytic
+    geometric values (:func:`init_duals`) — solution-equivalent, but it
+    turns a pathologically nonconvex cold start into a near-local problem.
+
+    Args:
+      x_init: optional (3, N+1) state guess; defaults to the reference
+        window with column 0 forced to x0.
+    """
+    dtype = data.x0.dtype
+    N = spec.N
+    x = data.xref.at[:, 0].set(data.x0) if x_init is None else jnp.asarray(x_init, dtype)
+
+    if spec.free_time:
+        # time scale from reachability: steps of length v_max*T*Ts must
+        # cover the largest inter-knot gap
+        gaps = jnp.sqrt(jnp.sum(jnp.diff(x[:2], axis=1) ** 2, axis=0) + 1e-12)
+        v_cap = 0.9 * data.u_hi[0]
+        T0 = jnp.clip(jnp.max(gaps) / (v_cap * data.Ts), 1.0, data.T_max)
+        dt = T0 * data.Ts
+    else:
+        T0 = None
+        dt = data.Ts
+
+    v0 = jnp.sqrt(jnp.sum(jnp.diff(x[:2], axis=1) ** 2, axis=0) + 1e-12) / dt
+    v0 = jnp.clip(v0, data.u_lo[0], data.u_hi[0])
+    w0 = jnp.clip(jnp.diff(x[2]) / dt, data.u_lo[1], data.u_hi[1])
+    u = jnp.stack([v0, w0])
+
+    if warm_duals:
+        lam, mu = init_duals(spec, data, x)
+    else:
+        lam = jnp.zeros((N + 1, spec.n_obs, spec.e_max), dtype)
+        mu = jnp.zeros((N + 1, spec.n_obs, 4), dtype)
+
+    z = {"x": x, "u": u, "lam": lam, "mu": mu}
+    if spec.free_time:
+        z["T"] = T0
+    return z
+
+
+def init_duals(spec: OBCASpec, data: OBCAData, x):
+    """Analytic dual warm start from the trajectory geometry.
+
+    For each (k, obstacle) pick the hyperplane most separating the ego
+    translation point t(x_k) (argmax of A_j t - b_j over real edges), put
+    the whole lambda weight kappa/||A_j|| on it so ||A^T lam|| = kappa < 1,
+    and recover mu >= 0 from the stationarity rows
+    (mu0 - mu2, mu1 - mu3) = -R(th)^T A^T lam  via positive/negative parts.
+    This is the standard dual warm start for OBCA problems (cf. the
+    H-OBCA approach); the reference instead cold-starts and leans on
+    IPOPT's globalization.
+
+    Args:
+      x: (3, N+1) initial state trajectory.
+    Returns:
+      (lam (N+1, nO, E), mu (N+1, nO, 4)) respecting all masks.
+    """
+    kappa = 0.9
+    lam_mask = data.edge_mask * data.obs_mask[:, None]    # (nO, E)
+    tx = x[0] + jnp.cos(x[2]) * data.ego_offset           # (N+1,)
+    ty = x[1] + jnp.sin(x[2]) * data.ego_offset
+    t = jnp.stack([tx, ty], axis=-1)                      # (N+1, 2)
+    # signed "violation" of each hyperplane by t: positive = separating
+    At_b = jnp.einsum("kied,kd->kie", data.A, t) - data.b  # (N+1, nO, E)
+    norms = jnp.linalg.norm(data.A, axis=-1)               # (N+1, nO, E)
+    score = jnp.where(lam_mask[None] > 0, At_b / jnp.maximum(norms, 1e-9), -jnp.inf)
+    best = jnp.argmax(score, axis=-1)                      # (N+1, nO)
+    onehot = jax.nn.one_hot(best, spec.e_max, dtype=x.dtype)
+    lam = onehot * kappa / jnp.maximum(norms, 1e-9) * lam_mask[None]
+    q1 = jnp.einsum("kied,kie->kid", data.A, lam)          # (N+1, nO, 2)
+    c = jnp.cos(x[2])[:, None]
+    s = jnp.sin(x[2])[:, None]
+    p = -(c * q1[..., 0] + s * q1[..., 1])
+    q = -(-s * q1[..., 0] + c * q1[..., 1])
+    mu = jnp.stack(
+        [jax.nn.relu(p), jax.nn.relu(q), jax.nn.relu(-p), jax.nn.relu(-q)],
+        axis=-1,
+    ) * data.obs_mask[None, :, None]
+    return lam, mu
+
+
+def _dual_masks(spec, data):
+    lam_mask = data.edge_mask * data.obs_mask[:, None]          # (nO, E)
+    return lam_mask, data.obs_mask
+
+
+def _obca_terms(spec, data, z):
+    """Shared per-(k, i) quantities.
+
+    q1[k, i] = A[k, i]^T lam[k, i]  (2-vector)
+    """
+    lam = z["lam"]  # (N+1, nO, E)
+    q1 = jnp.einsum("kied,kie->kid", data.A, lam)       # (N+1, nO, 2)
+    blam = jnp.einsum("kie,kie->ki", data.b, lam)       # (N+1, nO)
+    return q1, blam
+
+
+def objective(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
+    x, u = z["x"], z["u"]
+    N = spec.N
+    dx = x[:, :N] - data.xref[:, :N]
+    cost_x = jnp.einsum("it,ij,jt->", dx, data.Q, dx)
+    cost_u = jnp.einsum("it,ij,jt->", u, data.R1, u)
+
+    dt = (z["T"] * data.Ts) if spec.free_time else data.Ts
+    du = jnp.concatenate([(u[:, :1] - data.u0[:, None]), jnp.diff(u, axis=1)], axis=1)
+    dudt = du / dt
+    cost_acc = jnp.einsum("it,ij,jt->", dudt, data.R2, dudt)
+
+    dN = x[:, N] - data.xref[:, N]
+    cost_term = dN @ data.P @ dN
+
+    total = cost_x + cost_u + cost_acc + cost_term
+
+    if spec.free_time:
+        # sum over t of c1*T + c2*T^2 with uniform T (src/obca.py:887-888)
+        total = total + (N + 1) * (data.time_c1 * z["T"] + data.time_c2 * z["T"] ** 2)
+
+    # padded-dual pin penalty (see module docstring)
+    lam_mask, obs_mask = _dual_masks(spec, data)
+    pin = jnp.sum(((1.0 - lam_mask)[None] * z["lam"]) ** 2) + jnp.sum(
+        ((1.0 - obs_mask)[None, :, None] * z["mu"]) ** 2
+    )
+    # minimum-norm selection among degenerate contact multipliers
+    prox = jnp.sum((lam_mask[None] * z["lam"]) ** 2) + jnp.sum(
+        (obs_mask[None, :, None] * z["mu"]) ** 2
+    )
+    return total + 0.5 * _PIN_RHO * pin + 0.5 * spec.dual_reg * prox
+
+
+def eq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
+    """Stacked equality residuals (== 0)."""
+    x, u = z["x"], z["u"]
+    N = spec.N
+    dt = (z["T"] * data.Ts) if spec.free_time else data.Ts
+
+    th = x[2, :N]
+    dyn = jnp.stack(
+        [
+            x[0, 1:] - x[0, :N] - dt * u[0] * jnp.cos(th),
+            x[1, 1:] - x[1, :N] - dt * u[0] * jnp.sin(th),
+            x[2, 1:] - x[2, :N] - dt * u[1],
+        ]
+    )  # (3, N)
+
+    init = x[:, 0] - data.x0
+
+    parts = [dyn.reshape(-1), init]
+    if spec.variant == "free":
+        parts.append(x[:, N] - data.xref[:, N])  # src/obca.py:951
+
+    # OBCA stationarity, masked as described in the module docstring
+    q1, _ = _obca_terms(spec, data, z)
+    mu = z["mu"]  # (N+1, nO, 4)
+    cth = jnp.cos(x[2])[:, None]
+    sth = jnp.sin(x[2])[:, None]
+    m = data.obs_mask[None, :]
+    g1 = (mu[:, :, 0] - mu[:, :, 2]) + m * (cth * q1[:, :, 0] + sth * q1[:, :, 1])
+    g2 = (mu[:, :, 1] - mu[:, :, 3]) + m * (-sth * q1[:, :, 0] + cth * q1[:, :, 1])
+    parts.append(g1.reshape(-1))
+    parts.append(g2.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def ineq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
+    """Stacked inequality residuals (>= 0)."""
+    x, u = z["x"], z["u"]
+    N = spec.N
+    lam_mask, obs_mask = _dual_masks(spec, data)
+    one = jnp.asarray(1.0, x.dtype)
+
+    parts = []
+
+    # dual positivity (src/obca.py:957-958); masked rows -> constant 1
+    lam = z["lam"]
+    mu = z["mu"]
+    parts.append(jnp.where(lam_mask[None] > 0, lam, one).reshape(-1))
+    parts.append(
+        jnp.where(obs_mask[None, :, None] > 0, mu, one).reshape(-1)
+    )
+
+    # state box on x, y only — theta deliberately unbounded
+    # (src/obca.py:916-917 loops nx-1)
+    for i in range(2):
+        parts.append(x[i] - data.x_lo[i])
+        parts.append(data.x_hi[i] - x[i])
+
+    # input box (src/obca.py:922-923)
+    for i in range(2):
+        parts.append(u[i] - data.u_lo[i])
+        parts.append(data.u_hi[i] - u[i])
+
+    # acceleration bounds (src/obca.py:928-939), scaled through by the
+    # positive dt to stay polynomial — identical feasible set
+    dt = (z["T"] * data.Ts) if spec.free_time else data.Ts
+    du = jnp.concatenate([(data.u0[:, None] - u[:, :1]), u[:, :-1] - u[:, 1:]], axis=1)
+    parts.append(data.a_max * dt - du[0])
+    parts.append(du[0] + data.a_max * dt)
+    parts.append(data.alpha_max * dt - du[1])
+    parts.append(du[1] + data.alpha_max * dt)
+
+    if spec.free_time:
+        # Topt box (src/obca.py:961-963)
+        parts.append(jnp.reshape(z["T"] - _T_MIN, (1,)))
+        parts.append(jnp.reshape(data.T_max - z["T"], (1,)))
+
+    if spec.variant == "fix_terminal":
+        # terminal set (src/obca.py:1465-1466)
+        parts.append(jnp.reshape(x[0, N] - data.terminal_set[0, 0], (1,)))
+        parts.append(jnp.reshape(x[1, N] - data.terminal_set[1, 0], (1,)))
+        parts.append(jnp.reshape(data.terminal_set[1, 1] - x[1, N], (1,)))
+
+    # OBCA norm + distance rows, masked -> constant 1
+    q1, blam = _obca_terms(spec, data, z)
+    m = obs_mask[None, :]
+    norm_row = jnp.where(m > 0, 1.0 - jnp.sum(q1 * q1, axis=-1), one)
+    parts.append(norm_row.reshape(-1))
+
+    gmu = jnp.einsum("g,kig->ki", data.ego_g, mu)
+    tx = x[0] + jnp.cos(x[2]) * data.ego_offset
+    ty = x[1] + jnp.sin(x[2]) * data.ego_offset
+    dist = -gmu + tx[:, None] * q1[:, :, 0] + ty[:, None] * q1[:, :, 1] - blam
+    dist_row = jnp.where(m > 0, dist - data.dmin, one)
+    parts.append(dist_row.reshape(-1))
+
+    return jnp.concatenate(parts)
+
+
+def signed_clearance(spec: OBCASpec, data: OBCAData, z):
+    """The per-(k, i) OBCA distance value (>= dmin when separated), for
+    diagnostics / property tests."""
+    q1, blam = _obca_terms(spec, data, z)
+    x = z["x"]
+    gmu = jnp.einsum("g,kig->ki", data.ego_g, z["mu"])
+    tx = x[0] + jnp.cos(x[2]) * data.ego_offset
+    ty = x[1] + jnp.sin(x[2]) * data.ego_offset
+    return -gmu + tx[:, None] * q1[:, :, 0] + ty[:, None] * q1[:, :, 1] - blam

@@ -1,0 +1,360 @@
+"""Closed-loop receding-horizon driver (host orchestration, jitted solves).
+
+Reproduces the reference's main entry ``closedLoop.closed_loop_mpc4``
+(src/closed_loop.py:323-443) step for step:
+
+  per step k:
+    1. advance dynamic-obstacle world state by the *previous* optimal
+       sampling time (``update_obstacle``, :445-486; obstacles appear at
+       their start_time and then translate by Ts_opt * v each step),
+    2. simulate the circular-range lidar at the car front and latch
+       fix-time mode for this step if any dynamic obstacle vertex is in
+       range (``sensor``, :591-630),
+    3. free-time branch (k == 0 or nothing sensed): window the A*
+       reference at the nearest point, solve the free-time OBCA
+       (``obca_mpc4``), Ts_opt = T * Ts   (:353-358, :380-385),
+    4. fix-time branch: window, splice the previous plan into the first
+       N_fix-5 columns (:362-364), re-interpolate + rescale Ts
+       (:366, :570-587 — note the Ts feedback: self.Ts = Ts_opt), rebuild
+       the terminal set from the per-demo policy (:371 hardcodes demo1's),
+       rebuild moving-obstacle constraints with Ts_opt prediction (:374),
+       solve fix-time-with-terminal-set (``obca_mpc6``), falling back to
+       no-terminal (``obca_mpc8``) when infeasible (:387-398),
+    5. apply the first input, step the plant with the perfect model
+       x0 = xOpt[:, 1] (:416-419), record, stop at the goal or k == 30
+       (:345, :431).
+
+The NLP solves are jit-compiled once per (variant, N) and cached; the host
+only does bookkeeping. A fully-jitted `lax.scan` variant for batched sweeps
+lives in :mod:`.scan_loop`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import OBCASpec, build_obca_data, init_vars
+from ..scenarios.build import Scenario, ShapeSpec, build_scenario
+from ..scenarios.demos import DemoSpec, MPCParams
+from ..solver import IPMOptions, make_obca_solver
+from . import astar_host
+from .multistart import candidate_inits
+from .reference import (
+    goal_reached,
+    reinterpolate_openloop,
+    splice_previous_plan,
+    window_reference,
+)
+
+
+@dataclasses.dataclass
+class StepRecord:
+    k: int
+    fixtime: bool
+    feas: bool
+    fallback: bool          # fix-time needed the no-terminal fallback
+    x: np.ndarray           # state after applying the step (3,)
+    u: np.ndarray           # applied input (2,)
+    Ts_opt: float
+    x_open_loop: np.ndarray  # (N+1, 3) predicted open-loop plan
+    iters: int
+    kkt_err: float
+    solve_ms: float = 0.0
+    dyn_vertices: Optional[list] = None  # per dyn obstacle (5,2) + sensed flag
+
+
+@dataclasses.dataclass
+class ClosedLoopResult:
+    demo: str
+    reached_goal: bool
+    aborted_infeasible: bool
+    steps: list
+    x_ref: np.ndarray       # the A* reference path (3, L)
+
+    @property
+    def x_history(self):
+        return np.stack([s.x for s in self.steps])
+
+    @property
+    def u_history(self):
+        return np.stack([s.u for s in self.steps])
+
+    @property
+    def ts_history(self):
+        return np.asarray([s.Ts_opt for s in self.steps])
+
+
+class ClosedLoopRunner:
+    """Host-side closed-loop MPC driver for one demo family."""
+
+    def __init__(self, demo: DemoSpec, params: MPCParams = None,
+                 ipm_options: IPMOptions = None, dtype=jnp.float64,
+                 max_steps: int = 30, warm_start: bool = False):
+        self.demo = demo
+        self.p = params or demo.params
+        self.dtype = dtype
+        self.max_steps = max_steps  # src/closed_loop.py:431 caps k at 30
+        self.warm_start = warm_start
+        self.scn, self.shape = build_scenario(demo, dtype=dtype)
+        # acceptable-level defaults: when the loop hugs an obstacle at
+        # exactly dmin clearance the k=0 contact duals are near-singular
+        # and only polish to ~1e-3; the primal plan is still excellent
+        # (IPOPT ships the same escape hatch: "solved to acceptable level")
+        self.opt = ipm_options or IPMOptions(
+            max_iters=100, acceptable_tol=5e-3, feas_tol=1e-4
+        )
+        self._solvers = {}
+
+    def _solver(self, variant: str, N: int, n_candidates: int):
+        """Multi-start solver, jitted once per (variant, N, n_candidates)."""
+        from ..models import init_vars as _init_vars
+        from .multistart import make_multistart_solver
+
+        key = (variant, N, n_candidates)
+        if key not in self._solvers:
+            spec = OBCASpec(N=N, n_obs=self.shape.n_obs,
+                            e_max=self.shape.e_max, variant=variant)
+            base = make_obca_solver(spec, self.opt)
+            self._solvers[key] = (
+                spec, make_multistart_solver(spec, base, _init_vars, n_candidates)
+            )
+        return self._solvers[key]
+
+    def _dyn_boxes(self, N, sensed, dyn_pos, Ts_pred):
+        """(N+1, 4) union bbox of sensed dynamic obstacles per horizon step."""
+        info = np.asarray(self.scn.dyn_info)
+        boxes = np.full((N + 1, 4), np.nan)
+        any_obs = False
+        for i, row in enumerate(info):
+            if not sensed[i]:
+                continue
+            any_obs = True
+            th, L, W, v = row[2], row[3], row[4], row[5]
+            c, s = math.cos(th), math.sin(th)
+            ex = abs(L / 2 * c) + abs(W / 2 * s)
+            ey = abs(L / 2 * s) + abs(W / 2 * c)
+            for k in range(N + 1):
+                cx = dyn_pos[i, 0] + k * Ts_pred * v * c
+                cy = dyn_pos[i, 1] + k * Ts_pred * v * s
+                b = [cx - ex, cy - ey, cx + ex, cy + ey]
+                if np.isnan(boxes[k, 0]):
+                    boxes[k] = b
+                else:
+                    boxes[k] = [min(boxes[k, 0], b[0]), min(boxes[k, 1], b[1]),
+                                max(boxes[k, 2], b[2]), max(boxes[k, 3], b[3])]
+        return boxes if any_obs else None
+
+    # --- world simulation -------------------------------------------------
+
+    def _advance_obstacles(self, k, Ts_opt, dyn_pos):
+        """src/closed_loop.py:445-486: appear at start_time, then translate.
+
+        Returns (dyn_pos, appeared (nD,) bool)."""
+        info = np.asarray(self.scn.dyn_info)
+        appeared = np.zeros(len(info), bool)
+        for i, row in enumerate(info):
+            if not bool(np.asarray(self.scn.d_mask)[i]):
+                continue
+            start_t = row[9]
+            if k == start_t:
+                appeared[i] = True
+            elif k > start_t:
+                v, th = row[5], row[2]
+                dyn_pos[i, 0] += Ts_opt * v * math.cos(th)
+                dyn_pos[i, 1] += Ts_opt * v * math.sin(th)
+                appeared[i] = True
+        return dyn_pos, appeared
+
+    def _sense(self, x0, dyn_pos, appeared):
+        """src/closed_loop.py:591-630: lidar at the car front; an obstacle
+        is sensed when any of its 4 vertices is within senseDis."""
+        ego_l = self.p.ego[0]
+        front = np.array([
+            x0[0] + ego_l * math.cos(x0[2]),
+            x0[1] + ego_l * math.sin(x0[2]),
+        ])
+        info = np.asarray(self.scn.dyn_info)
+        sensed = np.zeros(len(info), bool)
+        verts_out = []
+        for i, row in enumerate(info):
+            if not appeared[i]:
+                verts_out.append(None)
+                continue
+            cx, cy = dyn_pos[i]
+            th, L, W = row[2], row[3], row[4]
+            c, s = math.cos(th), math.sin(th)
+            hl, hw = L / 2, W / 2
+            verts = np.array([
+                [cx - hl * c - hw * s, cy - hl * s + hw * c],
+                [cx + hl * c - hw * s, cy + hl * s + hw * c],
+                [cx + hl * c + hw * s, cy + hl * s - hw * c],
+                [cx - hl * c + hw * s, cy - hl * s - hw * c],
+            ])
+            d = np.sqrt(((verts - front) ** 2).sum(axis=1))
+            sensed[i] = bool(np.any(d <= float(self.scn.sense_dis)))
+            verts_out.append((verts, sensed[i]))
+        return sensed, verts_out
+
+    # --- main loop --------------------------------------------------------
+
+    def run(self, verbose: bool = False) -> ClosedLoopResult:
+        import time as _time
+
+        demo = self.demo
+        p = self.p
+        ref = astar_host.reference_path_for(
+            np.asarray(self.scn.grid), demo.start, demo.goal
+        )  # (3, L) — computed once, src/closed_loop.py:329
+        ref_j = jnp.asarray(ref, self.dtype)
+        L = ref.shape[1]
+
+        x0 = np.asarray(demo.start, float)
+        u0 = np.zeros(2)
+        Ts_cur = p.Ts           # mutated by the fix-time re-interpolation
+        Ts_opt = p.Ts
+        N_free, N_fix = p.N_free, p.N_fix
+        x_prev_plan = None      # previous open-loop plan (3, N+1)
+        goal = np.asarray(demo.goal, float)
+        dyn_pos = np.asarray(self.scn.dyn_info)[:, :2].astype(float).copy()
+        spawn_pos = dyn_pos.copy()
+
+        steps = []
+        aborted = False
+        k = 0
+        while not goal_reached(x0, goal):
+            dyn_pos, appeared = self._advance_obstacles(k, Ts_opt, dyn_pos)
+            sensed, dyn_verts = self._sense(x0, dyn_pos, appeared)
+            fixtime = bool(np.any(sensed))
+
+            t_solve = _time.time()
+            if k == 0 or not fixtime:
+                xref = window_reference(ref_j, L, jnp.asarray(x0, self.dtype), N_free)
+                spec, msolve = self._solver("free", N_free, 2)
+                data = build_obca_data(
+                    spec, self.scn, x0=x0, u0=u0, xref=xref, Ts=Ts_cur,
+                    q=p.q_free, r1=p.r1_free, r2=p.r2_free,
+                    v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
+                    alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
+                    time_c1=p.time_c1, time_c2=p.time_c2,
+                )
+                prev = x_prev_plan if (
+                    x_prev_plan is not None and x_prev_plan.shape[1] == N_free + 1
+                ) else None
+                cands = candidate_inits(np.asarray(xref), x0, prev_plan=prev)[:2]
+                while len(cands) < 2:
+                    cands.append(cands[0])
+                res, _ = msolve(data, jnp.asarray(np.stack(cands), self.dtype))
+                feas = bool(res.feas)
+                fallback = False
+                Ts_opt = float(res.z["T"]) * Ts_cur  # src/obca.py:1059
+            else:
+                xref = window_reference(ref_j, L, jnp.asarray(x0, self.dtype), N_fix)
+                if x_prev_plan is not None:
+                    xref = splice_previous_plan(
+                        xref, jnp.asarray(x_prev_plan, self.dtype), N_fix - 5
+                    )
+                xref, N_new = reinterpolate_openloop(xref, N_free, N_fix)
+                Ts_opt = (N_free * Ts_opt) / N_new  # src/closed_loop.py:586
+                Ts_cur = Ts_opt                     # :587 feedback
+                N_fix = N_new
+                terminal_set = demo.terminal_policy.resolve(x0)
+
+                spec, msolve = self._solver("fix_terminal", N_fix, 5)
+                data = build_obca_data(
+                    spec, self.scn, x0=x0, u0=u0, xref=xref, Ts=Ts_cur,
+                    dyn_active=jnp.asarray(sensed, self.dtype),
+                    dyn_delta=jnp.asarray(dyn_pos - spawn_pos, self.dtype),
+                    Ts_pred=Ts_opt,
+                    terminal_set=terminal_set,
+                    q=p.q_fix, r1=p.r1_fix, r2=p.r2_fix,
+                    v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
+                    alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
+                )
+                boxes = self._dyn_boxes(N_fix, sensed, dyn_pos, Ts_opt)
+                prev = x_prev_plan if (
+                    x_prev_plan is not None and x_prev_plan.shape[1] == N_fix + 1
+                ) else None
+                cands = candidate_inits(
+                    np.asarray(xref), x0, dyn_boxes=boxes,
+                    y_bounds=(float(self.scn.x_lo[1]), float(self.scn.x_hi[1])),
+                    prev_plan=prev,
+                )
+                while len(cands) < 5:
+                    cands.append(cands[0])
+                x_inits = jnp.asarray(np.stack(cands[:5]), self.dtype)
+                res, _ = msolve(data, x_inits)
+                feas = bool(res.feas)
+                fallback = False
+                if not feas:  # src/closed_loop.py:393-398
+                    spec8, msolve8 = self._solver("fix_free_end", N_fix, 5)
+                    res, _ = msolve8(data, x_inits)
+                    feas = bool(res.feas)
+                    fallback = True
+            solve_ms = (_time.time() - t_solve) * 1e3
+
+            x_plan = np.asarray(res.z["x"])
+            u_plan = np.asarray(res.z["u"])
+
+            if not feas:
+                aborted = True
+                # keep the failing problem around for offline diagnosis
+                self.last_failure = {
+                    "k": k, "fixtime": fixtime, "data": data, "res": res,
+                    "N_fix": N_fix, "x0": x0.copy(), "u0": u0.copy(),
+                    "Ts_cur": Ts_cur, "Ts_opt": Ts_opt,
+                }
+                steps.append(StepRecord(
+                    k=k, fixtime=fixtime, feas=False, fallback=fixtime,
+                    x=x0.copy(), u=u0.copy(), Ts_opt=Ts_opt,
+                    x_open_loop=x_plan.T, iters=int(res.iters),
+                    kkt_err=float(res.kkt_err), solve_ms=solve_ms,
+                    dyn_vertices=dyn_verts,
+                ))
+                if verbose:
+                    print(f"step {k}: MPC failed (fixtime={int(fixtime)})")
+                break
+
+            u0 = u_plan[:, 0]
+            x0 = x_plan[:, 1]          # perfect-model plant step
+            x_prev_plan = x_plan
+
+            steps.append(StepRecord(
+                k=k, fixtime=fixtime, feas=True, fallback=fallback,
+                x=x0.copy(), u=u0.copy(), Ts_opt=Ts_opt,
+                x_open_loop=x_plan.T, iters=int(res.iters),
+                kkt_err=float(res.kkt_err), solve_ms=solve_ms,
+                dyn_vertices=dyn_verts,
+            ))
+            if verbose:
+                print(
+                    f"step {k}: fixtime={int(fixtime)} feas=1 "
+                    f"Ts_opt={Ts_opt:.3f} x={np.round(x0, 3)} "
+                    f"({int(res.iters)} it, {solve_ms:.0f} ms)"
+                )
+
+            k += 1
+            if k == self.max_steps:  # src/closed_loop.py:431
+                break
+
+        return ClosedLoopResult(
+            demo=demo.name,
+            reached_goal=bool(goal_reached(x0, goal)),
+            aborted_infeasible=aborted,
+            steps=steps,
+            x_ref=ref,
+        )
+
+
+def run_closed_loop(demo_name: str, **kw) -> ClosedLoopResult:
+    """Convenience entry mirroring ``simulation.run_closedLoop``
+    (src/simulation.py:64-112)."""
+    from ..scenarios.demos import get_demo
+
+    verbose = kw.pop("verbose", False)
+    return ClosedLoopRunner(get_demo(demo_name), **kw).run(verbose=verbose)

@@ -1,0 +1,111 @@
+"""Structured multi-start for the OBCA solves.
+
+The reference cold-starts every NLP and relies on IPOPT's restoration
+phase to escape initializations that penetrate (predicted) obstacles
+(src/obca.py:839-856 — CasADi zeros). The TPU-idiomatic equivalent of that
+robustness is breadth instead of depth: solve the same problem from a
+small set of structured initial trajectories *in one vmapped batch* —
+essentially free on a TPU — and keep the best feasible result:
+
+  * the reference window itself (collision-free wrt static obstacles),
+  * the previous open-loop plan shifted by one step (classic MPC warm
+    start),
+  * a brake trajectory (stay at x0 — always dynamically feasible, proves
+    "wait for the obstacle to pass" maneuvers),
+  * dodge-below / dodge-above variants that push the window out of the
+    predicted union of sensed dynamic obstacles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def candidate_inits(xref, x0, dyn_boxes=None, y_bounds=None, prev_plan=None,
+                    clearance=0.85):
+    """Build the list of (3, N+1) initial state trajectories.
+
+    Args:
+      xref: (3, N+1) reference window.
+      x0: (3,) current state.
+      dyn_boxes: optional (N+1, 4) [xmin, ymin, xmax, ymax] of the union of
+        sensed dynamic obstacles per horizon step (None -> no dodges).
+      y_bounds: (lo, hi) drivable y band for dodge clipping.
+      prev_plan: optional (3, N+1) previous open-loop plan.
+
+    Returns list of np arrays, each (3, N+1), first column == x0.
+    """
+    xref = np.asarray(xref, float)
+    x0 = np.asarray(x0, float)
+    N = xref.shape[1] - 1
+    out = []
+
+    def with_theta(xy):
+        dx = np.diff(xy[0])
+        dy = np.diff(xy[1])
+        th = np.arctan2(dy, dx)
+        # keep the previous heading across zero-length segments
+        for i in range(len(th)):
+            if dx[i] == 0 and dy[i] == 0:
+                th[i] = th[i - 1] if i > 0 else x0[2]
+        th = np.concatenate([th, th[-1:]])
+        tr = np.vstack([xy, th[None]])
+        tr[:, 0] = x0
+        return tr
+
+    base = xref.copy()
+    base[:, 0] = x0
+    out.append(base)
+
+    if prev_plan is not None:
+        p = np.asarray(prev_plan, float)
+        shifted = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        shifted[:, 0] = x0
+        out.append(shifted)
+
+    brake = np.tile(x0[:, None], (1, N + 1))
+    out.append(brake)
+
+    if dyn_boxes is not None:
+        boxes = np.asarray(dyn_boxes, float)
+        for mode in ("below", "above"):
+            xy = xref[:2].copy()
+            for k in range(N + 1):
+                xmin, ymin, xmax, ymax = boxes[k]
+                if xmin - 3.0 <= xy[0, k] <= xmax + 3.0:
+                    if mode == "below":
+                        xy[1, k] = min(xy[1, k], ymin - clearance)
+                    else:
+                        xy[1, k] = max(xy[1, k], ymax + clearance)
+            if y_bounds is not None:
+                xy[1] = np.clip(xy[1], y_bounds[0] + clearance,
+                                y_bounds[1] - clearance)
+            out.append(with_theta(xy))
+
+    return out
+
+
+def make_multistart_solver(spec, solve, init_vars_fn, n_candidates):
+    """Wrap a single-problem solver into an n-candidate multi-start.
+
+    Returns ``msolve(data, x_inits (nC, 3, N+1)) -> (result_tree, best_idx)``
+    where result_tree is the selected single IPMResult. jit-compiled once
+    per (spec, n_candidates).
+    """
+
+    def msolve(data, x_inits):
+        def one(x_init):
+            z0 = init_vars_fn(spec, data, x_init=x_init)
+            return solve(data, z0)
+
+        res = jax.vmap(one)(x_inits)
+        # prefer feasible, then lowest objective
+        big = jnp.asarray(1e18, res.f.dtype)
+        score = jnp.where(res.feas, res.f, big + res.viol)
+        best = jnp.argmin(score)
+        picked = jax.tree.map(lambda a: a[best], res)
+        return picked, best
+
+    return jax.jit(msolve)

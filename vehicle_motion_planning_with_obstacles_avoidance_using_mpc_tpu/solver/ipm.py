@@ -1,0 +1,381 @@
+"""Primal-dual interior-point NLP solver in pure JAX.
+
+This is the framework's L0 — the TPU-native replacement for the reference's
+CasADi ``Opti`` + IPOPT substrate (invoked per replan at e.g.
+``src/obca.py:1052-1056``). Design goals, in order:
+
+  1. *Batchable*: one compiled solve, ``vmap`` over thousands of problem
+     instances; diverged instances never poison the batch (status codes,
+     masked updates — SURVEY.md section 5 "failure detection").
+  2. *Shape-static*: fixed iteration cap, fraction-to-boundary + vectorized
+     backtracking (all candidate step lengths evaluated in one shot), no
+     data-dependent Python control flow.
+  3. *Robust on the nonconvex OBCA NLP*. The pieces that earn IPOPT its
+     robustness are reproduced in fixed-shape form:
+       - gradient-based objective/constraint scaling,
+       - optional variable scaling (``z_scale``) so regularization acts in
+         natural units,
+       - inertia correction as a *parallel* regularization sweep: the KKT
+         system is factorized for a ladder of primal regularizers in one
+         batched LU and the smallest delta with finite solution and
+         positive step curvature wins,
+       - a filter-style line search (accept on constraint-violation OR
+         barrier-objective improvement) evaluated for all backtracking
+         candidates at once,
+       - the kappa_Sigma dual safeguard clamping inequality multipliers to
+         a mu/s neighborhood,
+       - monotone Fiacco-McCormick barrier reduction,
+       - one iterative-refinement pass per KKT solve (float32-friendly).
+
+Problem form (bounds are folded into ``c_I`` by the model layer):
+
+    min f(z)   s.t.  c_E(z) = 0,   c_I(z) - s = 0,  s >= 0
+
+Newton-KKT condensation eliminates (s, w) analytically, leaving the
+symmetric saddle system in (dz, dy):
+
+    [ H + J_I^T (W/S) J_I + dp*I   J_E^T ] [ dz ]   [ rhs1 ]
+    [ J_E                          -dd*I ] [ -dy ] = [ -c_E ]
+
+solved dense — the OBCA KKT is a few hundred rows, one MXU tile; a
+block-structured Pallas factorization can slot in underneath without
+changing this interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+
+@dataclasses.dataclass(frozen=True)
+class IPMOptions:
+    max_iters: int = 100
+    tol: float = 1e-6            # scaled KKT error target (IPOPT tol)
+    acceptable_tol: float = 1e-4  # Ipopt-style acceptable KKT level
+    feas_tol: float = 1e-6       # unscaled constraint violation for `feas`
+    mu0: float = 0.1             # initial barrier parameter
+    kappa_mu: float = 0.2        # linear barrier reduction factor
+    theta_mu: float = 1.5        # superlinear barrier reduction exponent
+    kappa_eps: float = 10.0      # barrier-phase termination factor
+    kappa_sigma: float = 1e10    # dual safeguard width
+    tau_min: float = 0.99        # fraction-to-boundary parameter
+    s_init: float = 1e-2         # minimum initial slack
+    delta0: float = 1e-8         # base primal regularization
+    delta_max: float = 1e8
+    delta_d: float = 1e-8        # dual regularization
+    n_deltas: int = 3            # parallel regularization ladder size
+    delta_step: float = 100.0    # ladder ratio
+    n_backtracks: int = 16       # vectorized filter candidates
+    g_max: float = 100.0         # gradient-based scaling threshold
+    debug: bool = False          # per-iteration jax.debug.print trace
+
+
+class IPMResult(NamedTuple):
+    z: dict                 # solution pytree
+    s: jnp.ndarray          # slacks
+    y: jnp.ndarray          # equality multipliers
+    w: jnp.ndarray          # inequality multipliers
+    f: jnp.ndarray          # objective (unscaled)
+    kkt_err: jnp.ndarray    # final scaled KKT error
+    viol: jnp.ndarray       # final unscaled max constraint violation
+    iters: jnp.ndarray
+    converged: jnp.ndarray  # bool
+    feas: jnp.ndarray       # bool: converged & viol <= feas_tol
+
+
+def _row_scales(J, g_max):
+    m = jnp.max(jnp.abs(J), axis=-1)
+    return jnp.minimum(1.0, g_max / jnp.maximum(m, 1e-12))
+
+
+def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
+                 z_example, options: IPMOptions = IPMOptions(),
+                 z_scale=None):
+    """Compile-time construction of a solver for one problem family.
+
+    f_fn/cE_fn/cI_fn: (z_pytree, params) -> scalar / (mE,) / (mI,).
+    ``z_example`` fixes the variable pytree structure; ``z_scale`` is an
+    optional pytree of typical magnitudes (same structure) so that internal
+    regularization acts on O(1) quantities. Returns
+    ``solve(z0_pytree, params) -> IPMResult`` — jit it, vmap it.
+    """
+    _, unravel = ravel_pytree(z_example)
+    opt = options
+
+    if z_scale is None:
+        d_scale = jnp.ones_like(ravel_pytree(z_example)[0])
+    else:
+        d_scale = ravel_pytree(z_scale)[0]
+
+    def f_flat(zv, params):
+        return f_fn(unravel(zv * d_scale), params)
+
+    def cE_flat(zv, params):
+        return cE_fn(unravel(zv * d_scale), params)
+
+    def cI_flat(zv, params):
+        return cI_fn(unravel(zv * d_scale), params)
+
+    grad_f = jax.grad(f_flat)
+    jac_E = jax.jacrev(cE_flat)
+    jac_I = jax.jacrev(cI_flat)
+
+    def solve(z0_pytree, params):
+        z0 = ravel_pytree(z0_pytree)[0] / d_scale
+        dtype = z0.dtype
+        n = z0.shape[0]
+
+        # ---- gradient-based scaling at z0 (Ipopt's scheme)
+        g0 = grad_f(z0, params)
+        JE0 = jac_E(z0, params)
+        JI0 = jac_I(z0, params)
+        sf = jnp.minimum(1.0, opt.g_max / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-12))
+        scE = _row_scales(JE0, opt.g_max)
+        scI = _row_scales(JI0, opt.g_max)
+        mE, mI = JE0.shape[0], JI0.shape[0]
+
+        def fs(zv):
+            return sf * f_flat(zv, params)
+
+        def cEs(zv):
+            return scE * cE_flat(zv, params)
+
+        def cIs(zv):
+            return scI * cI_flat(zv, params)
+
+        g_fs = jax.grad(fs)
+        J_Es = jax.jacrev(cEs)
+        J_Is = jax.jacrev(cIs)
+
+        def lag(zv, y, w):
+            return fs(zv) - y @ cEs(zv) - w @ cIs(zv)
+
+        hess_lag = jax.hessian(lag)
+
+        # ---- initialization (inequality duals start at <= 1, Ipopt-style)
+        cI0 = cIs(z0)
+        s0 = jnp.maximum(cI0, opt.s_init)
+        mu_b0 = jnp.asarray(opt.mu0, dtype)
+        w0 = jnp.clip(mu_b0 / s0, 1e-8, 1.0)
+        y0 = jnp.zeros((mE,), dtype)
+
+        def barrier_obj(zv, s, mu_b):
+            return fs(zv) - mu_b * jnp.sum(jnp.log(s))
+
+        def theta(zv, s):
+            """Scaled constraint violation (the filter's second axis)."""
+            return jnp.sum(jnp.abs(cEs(zv))) + jnp.sum(jnp.abs(cIs(zv) - s))
+
+        def kkt_error(zv, s, y, w, mu_b):
+            g = g_fs(zv)
+            JE = J_Es(zv)
+            JI = J_Is(zv)
+            r_d = g - JE.T @ y - JI.T @ w
+            r_sw = s * w - mu_b
+            cE = cEs(zv)
+            r_I = cIs(zv) - s
+            sd = jnp.maximum(
+                opt.g_max,
+                (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(w))) / max(mE + mI, 1),
+            ) / opt.g_max
+            sc = jnp.maximum(opt.g_max, jnp.sum(jnp.abs(w)) / max(mI, 1)) / opt.g_max
+            return jnp.maximum(
+                jnp.max(jnp.abs(r_d)) / sd,
+                jnp.maximum(
+                    jnp.maximum(jnp.max(jnp.abs(cE)), jnp.max(jnp.abs(r_I))),
+                    jnp.max(jnp.abs(r_sw)) / sc,
+                ),
+            )
+
+        class State(NamedTuple):
+            zv: jnp.ndarray
+            s: jnp.ndarray
+            y: jnp.ndarray
+            w: jnp.ndarray
+            mu_b: jnp.ndarray
+            delta: jnp.ndarray   # last successful regularization
+            it: jnp.ndarray
+            done: jnp.ndarray
+            # watchdog: best iterate seen so far (by mu=0 KKT error) — the
+            # dual chatter near degenerate contacts must never lose it
+            best_zv: jnp.ndarray
+            best_s: jnp.ndarray
+            best_y: jnp.ndarray
+            best_w: jnp.ndarray
+            best_err: jnp.ndarray
+
+        def cond(st: State):
+            return jnp.logical_and(st.it < opt.max_iters, ~st.done)
+
+        def body(st: State):
+            zv, s, y, w = st.zv, st.s, st.y, st.w
+            mu_b = st.mu_b
+
+            g = g_fs(zv)
+            JE = J_Es(zv)
+            JI = J_Is(zv)
+            cE = cEs(zv)
+            cI = cIs(zv)
+            H = hess_lag(zv, y, w)
+
+            sigma = w / s
+            W = H + JI.T @ (sigma[:, None] * JI)
+            r_d = g - JE.T @ y - JI.T @ w
+            rhs = jnp.concatenate([
+                -r_d - JI.T @ ((w * cI - mu_b) / s),
+                -cE,
+            ])
+
+            # --- parallel regularization ladder (inertia surrogate)
+            base = jnp.maximum(st.delta, opt.delta0)
+            ladder = base * (opt.delta_step ** jnp.arange(opt.n_deltas, dtype=dtype))
+            eye_n = jnp.eye(n, dtype=dtype)
+            eye_m = jnp.eye(mE, dtype=dtype)
+
+            def kkt_solve(delta):
+                K = jnp.block([
+                    [W + delta * eye_n, JE.T],
+                    [JE, -opt.delta_d * eye_m],
+                ])
+                lu, piv = jax.scipy.linalg.lu_factor(K)
+                sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+                sol = sol - jax.scipy.linalg.lu_solve((lu, piv), K @ sol - rhs)
+                dz = sol[:n]
+                curv = dz @ (W @ dz) + delta * (dz @ dz)
+                good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
+                return sol, good
+
+            sols, goods = jax.vmap(kkt_solve)(ladder)
+            first = jnp.argmax(goods)  # first True, or 0 if none
+            any_good = jnp.any(goods)
+            pick = jnp.where(any_good, first, opt.n_deltas - 1)
+            sol = sols[pick]
+            delta_used = ladder[pick]
+            bad = jnp.logical_not(any_good & jnp.all(jnp.isfinite(sol)))
+
+            dz = sol[:n]
+            dy = -sol[n:]
+            ds = JI @ dz + (cI - s)
+            dw = -(s * w - mu_b + w * ds) / s
+
+            # fraction-to-boundary
+            tau = jnp.maximum(opt.tau_min, 1.0 - mu_b)
+            a_s = jnp.min(jnp.where(ds < 0, -tau * s / jnp.where(ds < 0, ds, -1.0), 1.0))
+            a_w = jnp.min(jnp.where(dw < 0, -tau * w / jnp.where(dw < 0, dw, -1.0), 1.0))
+            a_s = jnp.minimum(a_s, 1.0)
+            a_w = jnp.minimum(a_w, 1.0)
+
+            # vectorized filter-style backtracking
+            phi0 = barrier_obj(zv, s, mu_b)
+            th0 = theta(zv, s)
+            g_th = 1e-5
+            alphas = a_s * (0.5 ** jnp.arange(opt.n_backtracks, dtype=dtype))
+
+            def trial(a):
+                zt = zv + a * dz
+                st_ = s + a * ds
+                return barrier_obj(zt, st_, mu_b), theta(zt, st_)
+
+            phis, ths = jax.vmap(trial)(alphas)
+            ok = jnp.isfinite(phis) & (
+                (ths <= (1.0 - g_th) * th0) | (phis <= phi0 - g_th * th0)
+            )
+            any_ok = jnp.any(ok)
+            alpha = jnp.where(any_ok, jnp.max(jnp.where(ok, alphas, 0.0)), 0.0)
+
+            step_ok = jnp.logical_and(~bad, any_ok)
+            alpha = jnp.where(step_ok, alpha, 0.0)
+            a_wd = jnp.where(step_ok, a_w, 0.0)
+
+            zv_n = zv + alpha * dz
+            s_n = s + alpha * ds
+            # equality duals move with the primal step (Ipopt); only the
+            # inequality duals are fraction-to-boundary limited
+            y_n = y + alpha * dy
+            w_n = w + a_wd * dw
+            # kappa_Sigma safeguard (Ipopt eq. 16)
+            w_n = jnp.clip(
+                w_n,
+                mu_b / (opt.kappa_sigma * s_n),
+                opt.kappa_sigma * mu_b / s_n,
+            )
+
+            # regularization memory: decay on clean success, grow on failure
+            delta_n = jnp.where(
+                step_ok,
+                jnp.maximum(opt.delta0, delta_used / 30.0),
+                jnp.minimum(opt.delta_max, jnp.maximum(st.delta * 100.0, 1e-4)),
+            )
+
+            # barrier update
+            err_mu = kkt_error(zv_n, s_n, y_n, w_n, mu_b)
+            shrink = err_mu <= opt.kappa_eps * mu_b
+            mu_n = jnp.where(
+                shrink,
+                jnp.maximum(opt.tol / 10.0,
+                            jnp.minimum(opt.kappa_mu * mu_b, mu_b ** opt.theta_mu)),
+                mu_b,
+            )
+
+            err_0 = kkt_error(zv_n, s_n, y_n, w_n, jnp.asarray(0.0, dtype))
+            done = err_0 <= opt.tol
+
+            better = err_0 < st.best_err
+            best_zv = jnp.where(better, zv_n, st.best_zv)
+            best_s = jnp.where(better, s_n, st.best_s)
+            best_y = jnp.where(better, y_n, st.best_y)
+            best_w = jnp.where(better, w_n, st.best_w)
+            best_err = jnp.where(better, err_0, st.best_err)
+
+            if opt.debug:
+                jax.debug.print(
+                    "it={i} err0={e:.3e} errmu={em:.3e} mu={m:.2e} a={a:.2e} "
+                    "aw={aw:.2e} d={d:.1e} th0={t:.3e} |rd|={rd:.2e} "
+                    "|cE|={ce:.2e} |w|={wm:.2e}",
+                    i=st.it, e=err_0, em=err_mu, m=mu_b, a=alpha, aw=a_wd,
+                    d=delta_used, t=th0,
+                    rd=jnp.max(jnp.abs(r_d)),
+                    ce=jnp.max(jnp.abs(cE)),
+                    wm=jnp.max(w_n),
+                )
+
+            return State(zv_n, s_n, y_n, w_n, mu_n, delta_n, st.it + 1, done,
+                         best_zv, best_s, best_y, best_w, best_err)
+
+        err_init = kkt_error(z0, s0, y0, w0, jnp.asarray(0.0, dtype))
+        st0 = State(
+            z0, s0, y0, w0, mu_b0,
+            jnp.asarray(opt.delta0, dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            z0, s0, y0, w0, err_init,
+        )
+        st = jax.lax.while_loop(cond, body, st0)
+
+        # report the watchdog's best iterate, Ipopt "acceptable level" rules
+        zv, s, y, w, err = st.best_zv, st.best_s, st.best_y, st.best_w, st.best_err
+        cE_u = cE_flat(zv, params)
+        cI_u = cI_flat(zv, params)
+        viol = jnp.maximum(
+            jnp.max(jnp.abs(cE_u)), jnp.maximum(0.0, -jnp.min(cI_u))
+        )
+        converged = err <= opt.tol
+        acceptable = err <= opt.acceptable_tol
+        return IPMResult(
+            z=unravel(zv * d_scale),
+            s=s,
+            y=y,
+            w=w,
+            f=f_flat(zv, params),
+            kkt_err=err,
+            viol=viol,
+            iters=st.it,
+            converged=converged,
+            feas=jnp.logical_and(acceptable, viol <= opt.feas_tol),
+        )
+
+    return solve
