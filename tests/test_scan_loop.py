@@ -1,0 +1,103 @@
+"""Tests for the fully-jitted scanned closed loop (runtime/scan_loop.py).
+
+The scanned rollout must reproduce the host driver's receding-horizon
+semantics (reference ``src/closed_loop.py:323-443``) while being a pure
+fixed-shape function: jit-able, vmap-able over scenarios, shard-able over
+a device mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.parallel import (
+    make_mesh,
+    sharded_rollout,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime import (
+    astar_host,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.closed_loop import (
+    ClosedLoopRunner,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.scan_loop import (
+    make_scan_rollout,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.build import (
+    build_scenario,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.demos import (
+    default_params_for,
+    get_demo,
+)
+
+
+def _demo1_setup(dtype):
+    demo = get_demo("demo1")
+    scn, shape = build_scenario(demo, dtype=dtype)
+    ref = astar_host.reference_path_for(
+        np.asarray(scn.grid), demo.start, demo.goal
+    )
+    return demo, scn, shape, jnp.asarray(ref, dtype), ref.shape[1]
+
+
+def test_scan_matches_host_free_time_steps():
+    dtype = jnp.float64
+    demo, scn, shape, ref, L = _demo1_setup(dtype)
+    p = default_params_for("demo1")
+
+    roll = make_scan_rollout(shape, p, max_steps=3, dtype=dtype)
+    final, traj = jax.jit(roll)(scn, ref, jnp.asarray(L))
+    xs = np.asarray(traj["x"])
+
+    host = ClosedLoopRunner(demo, max_steps=3).run()
+    xh = np.asarray([s.x for s in host.steps])
+
+    # first steps are free-time mode (no obstacle in lidar range): the
+    # scanned loop and the host driver solve the same NLPs from the same
+    # warm starts, so trajectories agree tightly.
+    assert not np.asarray(traj["fixtime"]).any()
+    np.testing.assert_allclose(xs[:3], xh[:3], atol=1e-2)
+    assert bool(final.active)
+    assert not bool(final.failed)
+
+
+@pytest.mark.slow
+def test_scan_full_demo1_progresses_and_switches_mode():
+    dtype = jnp.float64
+    demo, scn, shape, ref, L = _demo1_setup(dtype)
+    p = default_params_for("demo1")
+
+    roll = make_scan_rollout(shape, p, max_steps=30, dtype=dtype)
+    final, traj = jax.jit(roll)(scn, ref, jnp.asarray(L))
+
+    assert not bool(final.failed)
+    # lidar must have tripped fix-time mode at some point (dyn obstacle
+    # crosses the corridor in demo1)
+    assert np.asarray(traj["fixtime"]).any()
+    # substantial progress toward the goal within the step cap
+    d0 = np.linalg.norm(np.asarray(scn.start[:2] - scn.goal[:2]))
+    d = np.linalg.norm(np.asarray(final.x0[:2] - scn.goal[:2]))
+    assert d < 0.4 * d0
+
+
+@pytest.mark.slow
+def test_scan_vmap_shards_over_mesh():
+    dtype = jnp.float64
+    demo, scn, shape, ref, L = _demo1_setup(dtype)
+    p = default_params_for("demo1")
+
+    roll = make_scan_rollout(shape, p, max_steps=2, dtype=dtype)
+    mesh = make_mesh(2)
+    sroll = sharded_rollout(roll, mesh)
+
+    B = 2
+    scnb = jax.tree.map(lambda a: jnp.stack([a] * B), scn)
+    refb = jnp.stack([ref] * B)
+    lenb = jnp.asarray([L] * B)
+    final, traj = sroll(scnb, refb, lenb)
+    xs = np.asarray(traj["x"])
+    assert xs.shape[:2] == (B, 2)
+    # identical scenarios across the batch -> identical rollouts
+    np.testing.assert_allclose(xs[0], xs[1], atol=1e-9)

@@ -87,6 +87,55 @@ def candidate_inits(xref, x0, dyn_boxes=None, y_bounds=None, prev_plan=None,
     return out
 
 
+def candidate_inits_traced(xref, x0, dyn_boxes=None, y_bounds=None,
+                           prev_plan=None, clearance=0.85, theta0=None):
+    """Fully-traced version of :func:`candidate_inits` for the scanned
+    closed loop: returns a stacked (nC, 3, N+1) array. nC = 3 without
+    dodges (window / shifted prev / brake), 5 with.
+    """
+    xref = jnp.asarray(xref)
+    x0 = jnp.asarray(x0)
+    N = xref.shape[1] - 1
+
+    def with_theta(xy):
+        dx = jnp.diff(xy[0])
+        dy = jnp.diff(xy[1])
+        deg = (dx == 0) & (dy == 0)
+        th_raw = jnp.arctan2(dy, dx)
+
+        def carry(prev, pair):
+            t, d = pair
+            t_eff = jnp.where(d, prev, t)
+            return t_eff, t_eff
+
+        _, th = jax.lax.scan(carry, x0[2], (th_raw, deg))
+        tr = jnp.concatenate([xy, jnp.concatenate([th, th[-1:]])[None]], axis=0)
+        return tr.at[:, 0].set(x0)
+
+    base = xref.at[:, 0].set(x0)
+    if prev_plan is None:
+        prev_plan = base
+    shifted = jnp.concatenate([prev_plan[:, 1:], prev_plan[:, -1:]], axis=1)
+    shifted = shifted.at[:, 0].set(x0)
+    brake = jnp.tile(x0[:, None], (1, N + 1))
+    cands = [base, shifted, brake]
+
+    if dyn_boxes is not None:
+        boxes = jnp.asarray(dyn_boxes)  # (N+1, 4), +-inf rows when no obs
+        in_x = (xref[0] >= boxes[:, 0] - 3.0) & (xref[0] <= boxes[:, 2] + 3.0)
+        have = jnp.isfinite(boxes[:, 1])
+        lo = jnp.asarray(y_bounds[0]) + clearance
+        hi = jnp.asarray(y_bounds[1]) - clearance
+        y_below = jnp.where(in_x & have,
+                            jnp.minimum(xref[1], boxes[:, 1] - clearance), xref[1])
+        y_above = jnp.where(in_x & have,
+                            jnp.maximum(xref[1], boxes[:, 3] + clearance), xref[1])
+        for yy in (y_below, y_above):
+            xy = jnp.stack([xref[0], jnp.clip(yy, lo, hi)])
+            cands.append(with_theta(xy))
+    return jnp.stack(cands)
+
+
 def make_multistart_solver(spec, solve, init_vars_fn, n_candidates):
     """Wrap a single-problem solver into an n-candidate multi-start.
 

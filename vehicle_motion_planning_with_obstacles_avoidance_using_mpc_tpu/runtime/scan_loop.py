@@ -1,0 +1,232 @@
+"""Fully-jitted closed-loop rollout under ``lax.scan`` — the batched/TPU
+product.
+
+Semantically the same receding-horizon loop as
+:class:`.closed_loop.ClosedLoopRunner` (reference
+``closed_loop_mpc4``, src/closed_loop.py:323-443), but expressed as a pure
+fixed-shape scan so that ``vmap`` runs thousands of scenarios per chip and
+``pjit``/``shard_map`` spread the scenario axis over a mesh:
+
+  * all three solver variants (free-time / fix-time-with-terminal-set /
+    no-terminal fallback) are solved every step and the applicable result
+    is selected by the lidar mode flag — batch members diverge in mode, so
+    under vmap every branch executes anyway (SPMD-friendly control flow),
+  * per-scenario termination (goal reached, infeasible abort, the k == 30
+    step cap of src/closed_loop.py:431) is a masked freeze, not an exit —
+    a diverged scenario never poisons the batch,
+  * the multi-start candidate set is generated with traced geometry
+    (window / shifted previous plan / brake / dodge-below / dodge-above).
+
+Restriction vs the host driver: N_fix must equal N_free (true for every
+shipped demo; the re-interpolation of src/closed_loop.py:570-587 then
+reduces to the heading recomputation, which is applied).
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import OBCASpec, build_obca_data, init_vars
+from ..ops import geometry
+from ..scenarios.build import Scenario, ShapeSpec
+from ..scenarios.demos import MPCParams
+from ..solver import IPMOptions, make_obca_solver
+from .multistart import candidate_inits_traced, make_multistart_solver
+from .reference import (
+    reinterpolate_openloop,
+    splice_previous_plan,
+    window_reference,
+)
+
+N_CAND_FREE = 2
+N_CAND_FIX = 5
+
+
+class LoopState(NamedTuple):
+    x0: jnp.ndarray        # (3,)
+    u0: jnp.ndarray        # (2,)
+    Ts_cur: jnp.ndarray    # () mutated sampling time (src/closed_loop.py:587)
+    Ts_opt: jnp.ndarray    # () last optimal step duration
+    dyn_pos: jnp.ndarray   # (nD, 2)
+    prev_plan: jnp.ndarray  # (3, N+1)
+    k: jnp.ndarray         # () int32
+    active: jnp.ndarray    # () bool — still replanning
+    reached: jnp.ndarray   # () bool
+    failed: jnp.ndarray    # () bool — aborted on infeasibility
+
+
+def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
+                      max_steps: int = 30,
+                      options: IPMOptions | None = None,
+                      dtype=jnp.float32):
+    """Build ``rollout(scn, ref_path, ref_len) -> (final_state, traj)``.
+
+    ref_path: (3, L) reference (padding: repeat the last column);
+    ref_len: () number of valid columns. jit/vmap/pjit the result freely.
+    """
+    if p.N_free != p.N_fix:
+        raise NotImplementedError("scanned loop requires N_fix == N_free")
+    N = p.N_free
+    opt = options or IPMOptions(
+        max_iters=60, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3
+    )
+
+    spec_free = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max, variant="free")
+    spec_fixT = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                         variant="fix_terminal")
+    spec_fix8 = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                         variant="fix_free_end")
+    ms_free = make_multistart_solver(
+        spec_free, make_obca_solver(spec_free, opt), init_vars, N_CAND_FREE)
+    ms_fixT = make_multistart_solver(
+        spec_fixT, make_obca_solver(spec_fixT, opt), init_vars, N_CAND_FIX)
+    ms_fix8 = make_multistart_solver(
+        spec_fix8, make_obca_solver(spec_fix8, opt), init_vars, N_CAND_FIX)
+
+    def rollout(scn: Scenario, ref_path, ref_len):
+        ref_path = jnp.asarray(ref_path, dtype)
+        nD = scn.dyn_info.shape[0]
+        spawn = scn.dyn_info[:, :2]
+
+        # per-obstacle axis-aligned half extents for dodge boxes
+        th_o = scn.dyn_info[:, 2]
+        ex = jnp.abs(scn.dyn_info[:, 3] / 2 * jnp.cos(th_o)) + jnp.abs(
+            scn.dyn_info[:, 4] / 2 * jnp.sin(th_o))
+        ey = jnp.abs(scn.dyn_info[:, 3] / 2 * jnp.sin(th_o)) + jnp.abs(
+            scn.dyn_info[:, 4] / 2 * jnp.cos(th_o))
+
+        verts_spawn = jax.vmap(
+            lambda r: geometry.rect_vertices(r[0], r[1], r[2], r[3], r[4])
+        )(scn.dyn_info)[:, :4]  # (nD, 4, 2)
+
+        def step(st: LoopState, _):
+            # 1. world update (src/closed_loop.py:445-486)
+            started = st.k > scn.d_start_time
+            dyn_pos = st.dyn_pos + jnp.where(
+                (started & (scn.d_mask > 0))[:, None],
+                st.Ts_opt * scn.d_vel, 0.0)
+            appeared = (st.k >= scn.d_start_time) & (scn.d_mask > 0)
+
+            # 2. lidar (src/closed_loop.py:591-630)
+            front = st.x0[:2] + p.ego[0] * jnp.stack(
+                [jnp.cos(st.x0[2]), jnp.sin(st.x0[2])])
+            verts = verts_spawn + (dyn_pos - spawn)[:, None, :]
+            dists = jnp.linalg.norm(verts - front[None, None, :], axis=-1)
+            sensed = appeared & (jnp.min(dists, axis=-1) <= scn.sense_dis)
+            fixtime = jnp.any(sensed) & (st.k > 0)
+
+            # 3. free-time branch
+            xref_free = window_reference(ref_path, ref_len, st.x0, N)
+            data_free = build_obca_data(
+                spec_free, scn, x0=st.x0, u0=st.u0, xref=xref_free,
+                Ts=st.Ts_cur, q=p.q_free, r1=p.r1_free, r2=p.r2_free,
+                v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
+                alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
+                time_c1=p.time_c1, time_c2=p.time_c2,
+            )
+            cands_f = candidate_inits_traced(
+                xref_free, st.x0, prev_plan=st.prev_plan)[:N_CAND_FREE]
+            res_free, _ = ms_free(data_free, cands_f)
+            Ts_opt_free = res_free.z["T"] * st.Ts_cur
+
+            # 4. fix-time branch (src/closed_loop.py:360-398)
+            xref_fix = window_reference(ref_path, ref_len, st.x0, N)
+            xref_fix = splice_previous_plan(xref_fix, st.prev_plan, max(N - 5, 0))
+            xref_fix, _ = reinterpolate_openloop(xref_fix, N, N)
+            Ts_fix = st.Ts_opt  # N * Ts_opt / N — the rescale is identity
+            x0_ext = jnp.concatenate([st.x0, jnp.zeros((1,), dtype)])
+            tset = scn.ts_base + x0_ext[scn.ts_rel]
+            sensed_f = sensed.astype(dtype)
+            data_fix = build_obca_data(
+                spec_fixT, scn, x0=st.x0, u0=st.u0, xref=xref_fix, Ts=Ts_fix,
+                dyn_active=sensed_f, dyn_delta=dyn_pos - spawn,
+                Ts_pred=Ts_fix, terminal_set=tset,
+                q=p.q_fix, r1=p.r1_fix, r2=p.r2_fix,
+                v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
+                alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
+            )
+            ks = jnp.arange(N + 1, dtype=dtype)
+            centers = dyn_pos[None] + ks[:, None, None] * Ts_fix * scn.d_vel[None]
+            inf = jnp.asarray(jnp.inf, dtype)
+            sm = sensed_f[None, :] > 0
+            boxes = jnp.stack([
+                jnp.min(jnp.where(sm, centers[..., 0] - ex[None], inf), axis=1),
+                jnp.min(jnp.where(sm, centers[..., 1] - ey[None], inf), axis=1),
+                jnp.max(jnp.where(sm, centers[..., 0] + ex[None], -inf), axis=1),
+                jnp.max(jnp.where(sm, centers[..., 1] + ey[None], -inf), axis=1),
+            ], axis=-1)
+            cands_x = candidate_inits_traced(
+                xref_fix, st.x0, dyn_boxes=boxes,
+                y_bounds=(scn.x_lo[1], scn.x_hi[1]),
+                prev_plan=st.prev_plan,
+            )
+            res_fixT, _ = ms_fixT(data_fix, cands_x)
+            res_fix8, _ = ms_fix8(data_fix, cands_x)
+            # mpc6 -> mpc8 fallback ladder (src/closed_loop.py:393-398) as a
+            # masked select. The two variants differ in dual sizes (terminal
+            # set adds inequality rows), so merge only the primal fields.
+            use8 = ~res_fixT.feas
+            merge = lambda a, b: jnp.where(use8, b, a)
+            res_fix = SimpleNamespace(
+                z={k: merge(res_fixT.z[k], res_fix8.z[k])
+                   for k in ("x", "u")},
+                feas=merge(res_fixT.feas, res_fix8.feas),
+            )
+
+            # 5. mode selection + plant step (src/closed_loop.py:400-429)
+            sel = fixtime
+            pick = lambda a, b: jnp.where(sel, a, b)
+            x_plan = pick(res_fix.z["x"], res_free.z["x"])
+            u_plan = pick(res_fix.z["u"], res_free.z["u"])
+            feas = pick(res_fix.feas, res_free.feas)
+            Ts_opt_new = pick(Ts_fix, Ts_opt_free)
+            Ts_cur_new = pick(Ts_fix, st.Ts_cur)
+
+            ok = st.active & feas
+            x0_new = jnp.where(ok, x_plan[:, 1], st.x0)
+            u0_new = jnp.where(ok, u_plan[:, 0], st.u0)
+            prev_new = jnp.where(ok, x_plan, st.prev_plan)
+            reached = ((x0_new[0] - scn.goal[0]) ** 2
+                       + (x0_new[1] - scn.goal[1]) ** 2) < 0.1
+            failed = st.failed | (st.active & ~feas)
+            active_new = st.active & feas & ~reached
+
+            new = LoopState(
+                x0=x0_new,
+                u0=u0_new,
+                Ts_cur=jnp.where(ok, Ts_cur_new, st.Ts_cur),
+                Ts_opt=jnp.where(ok, Ts_opt_new, st.Ts_opt),
+                dyn_pos=jnp.where(st.active, dyn_pos, st.dyn_pos),
+                prev_plan=prev_new,
+                k=st.k + st.active.astype(jnp.int32),
+                active=active_new,
+                reached=st.reached | (st.active & reached),
+                failed=failed,
+            )
+            out = {
+                "x": x0_new, "u": u0_new, "Ts_opt": new.Ts_opt,
+                "fixtime": sel & st.active, "feas": feas,
+                "active": st.active, "plan": x_plan,
+            }
+            return new, out
+
+        st0 = LoopState(
+            x0=scn.start.astype(dtype),
+            u0=jnp.zeros((2,), dtype),
+            Ts_cur=jnp.asarray(p.Ts, dtype),
+            Ts_opt=jnp.asarray(p.Ts, dtype),
+            dyn_pos=spawn.astype(dtype),
+            prev_plan=jnp.tile(scn.start.astype(dtype)[:, None], (1, N + 1)),
+            k=jnp.asarray(0, jnp.int32),
+            active=jnp.asarray(True),
+            reached=jnp.asarray(False),
+            failed=jnp.asarray(False),
+        )
+        final, traj = jax.lax.scan(step, st0, None, length=max_steps)
+        return final, traj
+
+    return rollout

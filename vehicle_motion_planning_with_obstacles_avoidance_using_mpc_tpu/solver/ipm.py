@@ -126,6 +126,12 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
     jac_I = jax.jacrev(cI_flat)
 
     def solve(z0_pytree, params):
+        # TPU MXU truncates f32 matmuls to bf16 by default; Newton-KKT
+        # directions need full f32 accumulation or the iteration stalls.
+        with jax.default_matmul_precision("highest"):
+            return _solve(z0_pytree, params)
+
+    def _solve(z0_pytree, params):
         z0 = ravel_pytree(z0_pytree)[0] / d_scale
         dtype = z0.dtype
         n = z0.shape[0]
