@@ -1,0 +1,133 @@
+"""Benchmark: aggregate OBCA solve throughput on one chip.
+
+Mirrors the reference's benchmark path ``simulation.calc_time``
+(src/simulation.py:210-231): the free-time OBCA NLP on demo9 at horizon
+N = 10, which the reference solves in 3.69 s per call on CPU via
+CasADi+IPOPT (src/simulation.py:231 comment). Here the same problem
+family (demo9 world, N = 10, free-time variant, windowed references at
+B points along the A* path) is solved as one vmapped batch per device
+call; the metric is aggregate solves/s.
+
+``vs_baseline`` = our per-solve rate / the reference's (1 / 3.69 s).
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+Env overrides: BENCH_BATCH (default 256), BENCH_REPS (default 3),
+BENCH_ITERS (default 100).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # Host-side problem building stays on CPU; the accelerator only sees
+    # the one batched solve (remote-TPU compiles are ~30 s per shape, so
+    # keep it to a single jitted call).
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    accel = None
+    if "axon" in plats:
+        jax.config.update("jax_platforms", "cpu,axon")
+        accel = "axon"
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.models import (
+        OBCASpec,
+        build_obca_data,
+        init_vars,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime import (
+        astar_host,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.reference import (
+        window_reference,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios import (
+        build_scenario,
+        get_demo,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.solver import (
+        IPMOptions,
+        make_obca_solver,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
+    N = 10
+    BASELINE_S = 3.69  # reference per-solve wall time, src/simulation.py:231
+
+    dev = (jax.devices(accel) if accel else jax.devices())[0]
+    log(f"device: {dev}  batch={B} reps={reps} iters={iters}")
+
+    dtype = jnp.float32
+    demo = get_demo("demo9")
+    scn, shape = build_scenario(demo, dtype=dtype)
+    spec = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                    variant="free")
+    ref = astar_host.reference_path_for(
+        np.asarray(scn.grid), demo.start, demo.goal
+    )
+    L = ref.shape[1]
+    refj = jnp.asarray(ref, dtype)
+
+    # B replan problems: x0 at deterministic points along the A* path
+    rng = np.random.RandomState(0)
+    starts = np.sort(rng.randint(0, L - 2, size=B))
+    x0s = jnp.asarray(ref[:, starts], dtype).T            # (B, 3)
+
+    def build_one(x0):
+        xref = window_reference(refj, L, x0, N)
+        data = build_obca_data(spec, scn, x0=x0, u0=jnp.zeros(2, dtype),
+                               xref=xref, Ts=0.1)
+        return data, init_vars(spec, data)
+
+    datab, z0b = jax.jit(jax.vmap(build_one))(x0s)
+
+    solve = make_obca_solver(spec, IPMOptions(max_iters=iters))
+    vsolve = jax.jit(jax.vmap(solve), device=dev)
+
+    datab = jax.device_put(datab, dev)
+    z0b = jax.device_put(z0b, dev)
+
+    t0 = time.time()
+    res = vsolve(datab, z0b)
+    jax.block_until_ready(res)
+    log(f"compile+first run: {time.time() - t0:.1f} s")
+    # diagnostics in host numpy — every jnp op on device results would be
+    # a fresh ~30 s compile over the remote-TPU tunnel
+    feas_frac = float(np.mean(np.asarray(res.feas)))
+    log(f"feasible fraction: {feas_frac:.3f}  "
+        f"median iters: {np.median(np.asarray(res.iters)):.0f}")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = vsolve(datab, z0b)
+        jax.block_until_ready(res)
+        times.append(time.time() - t0)
+    t = min(times)
+    solves_per_s = B / t
+    log(f"times: {[f'{x:.3f}' for x in times]}  -> {solves_per_s:.1f} solves/s")
+
+    print(json.dumps({
+        "metric": "obca_free_time_N10_solves_per_s",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s * BASELINE_S, 2),
+        "feasible_fraction": round(feas_frac, 4),
+        "batch": B,
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,16 +102,30 @@ def add_headings(path_xy):
     return out
 
 
-def reference_path_for(grid, start_pose, goal_pose):
+def reference_path_for(grid, start_pose, goal_pose, native=False):
     """Full front-end: A* + reverse + headings -> (3, L) array.
 
     start/goal poses are (x, y, theta); grid indexing is [y][x] so the
     search runs on (row=y, col=x) exactly like ``src/closed_loop.py:23-24``.
+    With ``native=True`` the search runs in the C++ extension
+    (:mod:`..native`) — same optimal cost, possibly different tie-breaks,
+    ~100x faster; falls back to the Python search when the native library
+    is unavailable. Default is the reference-exact Python search, which
+    parity tests rely on.
     """
-    route = solve_grid_astar(
-        grid, (int(start_pose[1]), int(start_pose[0])),
-        (int(goal_pose[1]), int(goal_pose[0])),
-    )
+    start_yx = (int(start_pose[1]), int(start_pose[0]))
+    goal_yx = (int(goal_pose[1]), int(goal_pose[0]))
+    route = None
+    if native:
+        from ..native import astar_solve_native
+
+        cells = astar_solve_native(grid, start_yx, goal_yx)
+        if cells is not None:
+            # native includes the start cell; the reference contract
+            # excludes it (src/a_star.py:58-65 path extraction)
+            route = [tuple(c) for c in cells[:-1]] if len(cells) > 1 else []
+    if route is None:
+        route = solve_grid_astar(grid, start_yx, goal_yx)
     if route is None:
         raise ValueError("A*: goal unreachable from start")
     ref = add_headings(path_goal_to_xy(route))
