@@ -244,13 +244,25 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             eye_m = jnp.eye(mE, dtype=dtype)
 
             def kkt_solve(delta):
+                # Householder-QR solve of the saddle system. LU-with-
+                # pivoting is serial per column (argmax + row swap) and
+                # pathologically slow on TPU — a vmapped batch of these
+                # KKT solves ran minutes per call; blocked QR stays on the
+                # MXU. QR handles the indefinite K exactly like LU did, so
+                # the inertia surrogate stays the directional-curvature
+                # test (curv > 0), not an over-strong SPD requirement.
                 K = jnp.block([
                     [W + delta * eye_n, JE.T],
                     [JE, -opt.delta_d * eye_m],
                 ])
-                lu, piv = jax.scipy.linalg.lu_factor(K)
-                sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
-                sol = sol - jax.scipy.linalg.lu_solve((lu, piv), K @ sol - rhs)
+                Q, R = jnp.linalg.qr(K)
+
+                def ksolve(b):
+                    return jax.scipy.linalg.solve_triangular(R, Q.T @ b)
+
+                sol = ksolve(rhs)
+                # one iterative-refinement pass (float32-friendly)
+                sol = sol - ksolve(K @ sol - rhs)
                 dz = sol[:n]
                 curv = dz @ (W @ dz) + delta * (dz @ dz)
                 good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
@@ -298,12 +310,15 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             alpha = jnp.where(step_ok, alpha, 0.0)
             a_wd = jnp.where(step_ok, a_w, 0.0)
 
-            zv_n = zv + alpha * dz
-            s_n = s + alpha * ds
+            # masked update — alpha = 0 alone is not enough: a rejected
+            # step can carry NaN directions (all-Cholesky-rung failure)
+            # and 0 * NaN would poison the state
+            zv_n = jnp.where(step_ok, zv + alpha * dz, zv)
+            s_n = jnp.where(step_ok, s + alpha * ds, s)
             # equality duals move with the primal step (Ipopt); only the
             # inequality duals are fraction-to-boundary limited
-            y_n = y + alpha * dy
-            w_n = w + a_wd * dw
+            y_n = jnp.where(step_ok, y + alpha * dy, y)
+            w_n = jnp.where(step_ok, w + a_wd * dw, w)
             # kappa_Sigma safeguard (Ipopt eq. 16)
             w_n = jnp.clip(
                 w_n,
