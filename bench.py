@@ -92,15 +92,26 @@ def main():
 
     datab, z0b = jax.jit(jax.vmap(build_one))(x0s)
 
-    solve = make_obca_solver(spec, IPMOptions(max_iters=iters))
+    # float32-appropriate tolerances (the closed-loop scan uses the same):
+    # scaled-KKT 1e-6 is below f32 resolution for this problem size and
+    # just burns the full iteration budget on already-solved instances.
+    solve = make_obca_solver(spec, IPMOptions(
+        max_iters=iters, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3
+    ))
     vsolve = jax.jit(jax.vmap(solve), device=dev)
 
     datab = jax.device_put(datab, dev)
     z0b = jax.device_put(z0b, dev)
 
+    def run_once(z0):
+        # On the remote-TPU (axon) backend block_until_ready returns
+        # before execution completes; force a (tiny) device->host
+        # transfer so the timing is honest.
+        r = vsolve(datab, z0)
+        return float(np.sum(np.asarray(r.iters))), r
+
     t0 = time.time()
-    res = vsolve(datab, z0b)
-    jax.block_until_ready(res)
+    _, res = run_once(z0b)
     log(f"compile+first run: {time.time() - t0:.1f} s")
     # diagnostics in host numpy — every jnp op on device results would be
     # a fresh ~30 s compile over the remote-TPU tunnel
@@ -109,10 +120,13 @@ def main():
         f"median iters: {np.median(np.asarray(res.iters)):.0f}")
 
     times = []
-    for _ in range(reps):
+    for i in range(reps):
+        # perturb the start so no two timed calls are identical (the
+        # remote backend memoizes repeated pure executions)
+        z0p = jax.device_put(
+            jax.tree.map(lambda a: a * (1.0 + 1e-5 * (i + 1)), z0b), dev)
         t0 = time.time()
-        res = vsolve(datab, z0b)
-        jax.block_until_ready(res)
+        _, res = run_once(z0p)
         times.append(time.time() - t0)
     t = min(times)
     solves_per_s = B / t

@@ -128,3 +128,40 @@ def test_demo1_grid_matches_reference_rasterization():
 def test_demo9_grid_shape():
     scn, shape = build_scenario(get_demo("demo9"))
     assert np.asarray(scn.grid).shape == (61, 41)
+
+
+def test_grid_obstacle_vertices_vrep():
+    # reference obstacle_V_Represent semantics (src/model_obstacle.py:12-35):
+    # row [row, col, x_extent, y_extent] -> rect from (col-.5, row-.5)
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.ops.geometry import (
+        grid_obstacle_vertices,
+    )
+
+    verts = np.asarray(grid_obstacle_vertices(np.array([[2.0, 3.0, 4.0, 5.0]])))
+    assert verts.shape == (1, 5, 2)
+    np.testing.assert_allclose(verts[0, 0], [2.5, 1.5])
+    np.testing.assert_allclose(verts[0, 1], [6.5, 1.5])
+    np.testing.assert_allclose(verts[0, 2], [6.5, 6.5])
+    np.testing.assert_allclose(verts[0, 3], [2.5, 6.5])
+    np.testing.assert_allclose(verts[0, 4], verts[0, 0])
+
+
+def test_dilate_erode_grid():
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.ops.rasterize import (
+        dilate_grid,
+        erode_grid,
+    )
+
+    g = np.zeros((7, 7))
+    g[3, 3] = 1.0
+    d1 = np.asarray(dilate_grid(g, 1))
+    # disk(1) = plus-shaped footprint
+    expect = np.zeros((7, 7))
+    for dy, dx in ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)):
+        expect[3 + dy, 3 + dx] = 1.0
+    np.testing.assert_array_equal(d1, expect)
+    # erosion undoes the dilation of an isolated point to a plus-center
+    e1 = np.asarray(erode_grid(d1, 1))
+    np.testing.assert_array_equal(e1, g)
+    # identity at level 0
+    np.testing.assert_array_equal(np.asarray(dilate_grid(g, 0)), g)

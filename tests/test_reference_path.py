@@ -90,3 +90,22 @@ def test_splice_previous_plan():
 def test_goal_reached():
     assert bool(refmod.goal_reached(np.array([38.1, 4.0, 0]), np.array([38.0, 4, 0])))
     assert not bool(refmod.goal_reached(np.array([37.0, 4.0, 0]), np.array([38.0, 4, 0])))
+
+
+def test_interpolate_path_matches_reference_semantics():
+    # src/a_star.py:149-187: vertical segments stepped in y (flipped when
+    # descending), others stepped in x with linear y interpolation,
+    # endpoint excluded per segment, goal appended
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.astar_host import (
+        interpolate_path,
+    )
+
+    out = interpolate_path([[0, 0], [2, 2], [2, 0]], 0.5)
+    arr = np.asarray(out)
+    # first segment: x = 0, .5, 1, 1.5 with y == x; second: vertical down
+    np.testing.assert_allclose(arr[:4, 0], [0, 0.5, 1.0, 1.5])
+    np.testing.assert_allclose(arr[:4, 1], arr[:4, 0])
+    seg2 = arr[4:-1]
+    assert np.all(seg2[:, 0] == 2.0)
+    assert np.all(np.diff(seg2[:, 1]) < 0)  # descending keeps direction
+    np.testing.assert_allclose(arr[-1], [2, 0])

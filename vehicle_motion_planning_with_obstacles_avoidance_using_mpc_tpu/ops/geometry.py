@@ -41,6 +41,27 @@ def rect_vertices(cx, cy, theta, length, width):
     return jnp.stack([v1, v2, v3, v4, v1])
 
 
+def grid_obstacle_vertices(obstacles):
+    """V-representation of grid-cell obstacles, clockwise closed rectangles.
+
+    Equivalent of ``obstacleModel.obstacle_V_Represent``
+    (src/model_obstacle.py:12-35): each row of ``obstacles`` is
+    ``[row, col, x_extent, y_extent]`` in grid coordinates; the rectangle's
+    lower-left corner sits half a cell before ``(col, row)`` and spans
+    ``x_extent`` by ``y_extent``. Returns (nO, 5, 2) closed vertex loops.
+    """
+    obstacles = jnp.asarray(obstacles)
+    x0 = obstacles[:, 1] - 0.5
+    y0 = obstacles[:, 0] - 0.5
+    lx = obstacles[:, 2]
+    ly = obstacles[:, 3]
+    v1 = jnp.stack([x0, y0], axis=-1)
+    v2 = jnp.stack([x0 + lx, y0], axis=-1)
+    v3 = jnp.stack([x0 + lx, y0 + ly], axis=-1)
+    v4 = jnp.stack([x0, y0 + ly], axis=-1)
+    return jnp.stack([v1, v2, v3, v4, v1], axis=1)
+
+
 def pad_polyline(verts, v_max):
     """Pad a (nv, 2) float array of polyline vertices to (v_max, 2).
 

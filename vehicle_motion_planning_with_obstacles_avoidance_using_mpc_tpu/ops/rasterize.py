@@ -61,6 +61,53 @@ def rects_to_grid(bboxes, rect_mask, rows, cols, resolution=1.0):
     return jnp.any(inside, axis=-1).astype(bboxes.dtype)
 
 
+def _disk_offsets(radius: int):
+    """Static (dy, dx) offsets of a discrete disk structuring element —
+    the same footprint as ``skimage.morphology.disk(radius)`` used by the
+    reference's ``dilate_map``/``erode_map`` (src/model_map.py:103-113)."""
+    offs = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx * dx + dy * dy <= radius * radius:
+                offs.append((dy, dx))
+    return offs
+
+
+def dilate_grid(grid, level: int):
+    """Morphological dilation of a 0/1 occupancy grid with a disk kernel.
+
+    TPU-native equivalent of ``mapModel.dilate_map`` (src/model_map.py:103):
+    a max over statically-unrolled shifted copies — no scatter, vmappable.
+    ``level`` is the disk radius (static).
+    """
+    if level <= 0:
+        return grid
+    grid = jnp.asarray(grid)
+    pad = level
+    g = jnp.pad(grid, pad, constant_values=0.0)
+    out = jnp.zeros_like(grid)
+    r, c = grid.shape[-2], grid.shape[-1]
+    for dy, dx in _disk_offsets(level):
+        out = jnp.maximum(out, g[..., pad + dy : pad + dy + r, pad + dx : pad + dx + c])
+    return out
+
+
+def erode_grid(grid, level: int):
+    """Morphological erosion with a disk kernel
+    (``mapModel.erode_map``, src/model_map.py:109): min over shifted
+    copies, padding counts as free space outside the map."""
+    if level <= 0:
+        return grid
+    grid = jnp.asarray(grid)
+    pad = level
+    g = jnp.pad(grid, pad, constant_values=0.0)
+    out = jnp.ones_like(grid)
+    r, c = grid.shape[-2], grid.shape[-1]
+    for dy, dx in _disk_offsets(level):
+        out = jnp.minimum(out, g[..., pad + dy : pad + dy + r, pad + dx : pad + dx + c])
+    return out
+
+
 def polygon_bboxes(verts, vert_counts, v_max):
     """Min/max bbox of each padded polygon; host-side helper.
 

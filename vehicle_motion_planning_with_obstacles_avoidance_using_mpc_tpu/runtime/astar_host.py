@@ -102,6 +102,35 @@ def add_headings(path_xy):
     return out
 
 
+def interpolate_path(path_xy, step_size):
+    """Densify a piecewise-linear (x, y) path at ``step_size`` spacing.
+
+    Equivalent of ``a_star.interpolate`` (src/a_star.py:149-187, unused in
+    the reference's main flow but part of its public surface): vertical
+    segments are sampled along y (descending segments keep the travel
+    direction); all other segments are sampled along x with linear
+    interpolation of y. Segment endpoints are excluded (the next segment
+    supplies them); the final goal point is appended.
+    """
+    path = np.asarray(path_xy, dtype=float)
+    out = []
+    for i in range(len(path) - 1):
+        (x1, y1), (x2, y2) = path[i], path[i + 1]
+        if x2 == x1:
+            if y1 > y2:
+                ys = np.flip(np.arange(y2, y1, step_size))
+            else:
+                ys = np.arange(y1, y2, step_size)
+            out.extend([x1, y] for y in ys)
+        else:
+            xs = np.arange(x1, x2, step_size) if x1 < x2 else np.flip(
+                np.arange(x2, x1, step_size))
+            t = (xs - x1) / (x2 - x1)
+            out.extend([x, y1 + ti * (y2 - y1)] for x, ti in zip(xs, t))
+    out.append([path[-1][0], path[-1][1]])
+    return out
+
+
 def reference_path_for(grid, start_pose, goal_pose, native=False):
     """Full front-end: A* + reverse + headings -> (3, L) array.
 

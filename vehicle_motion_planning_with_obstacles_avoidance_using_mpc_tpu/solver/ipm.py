@@ -72,6 +72,21 @@ class IPMOptions:
     delta_step: float = 100.0    # ladder ratio
     n_backtracks: int = 16       # vectorized filter candidates
     g_max: float = 100.0         # gradient-based scaling threshold
+    # 'al_chol' (default): eliminate the equality-dual block exactly via
+    #   the augmented-Lagrangian normal equations
+    #       (W + dI + J^T J / dd) dz = r1 + J^T r2 / dd,
+    #       v = (J dz - r2) / dd,
+    #   Cholesky-factorized. SPD of that matrix ~ positive definiteness
+    #   of W + dI on null(J) (for small dd) — the *correct* inertia
+    #   condition, unlike SPD-of-W — and a failed factorization is NaN,
+    #   which rejects the ladder rung. ~3.5x faster than QR on TPU
+    #   (measured: chol-582 6.4 ms vs qr-750 23 ms at batch 32).
+    # 'qr': Householder QR on the full saddle system — the robustness
+    #   baseline; inertia surrogate is the directional-curvature test.
+    # 'chol': Cholesky+Schur demanding W + dI itself SPD — too strong
+    #   for OBCA (kept for experiments).
+    kkt: str = "al_chol"
+    delta_d_al: float = 1e-2     # dual regularization of the AL kernel
     debug: bool = False          # per-iteration jax.debug.print trace
 
 
@@ -177,14 +192,13 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             """Scaled constraint violation (the filter's second axis)."""
             return jnp.sum(jnp.abs(cEs(zv))) + jnp.sum(jnp.abs(cIs(zv) - s))
 
-        def kkt_error(zv, s, y, w, mu_b):
-            g = g_fs(zv)
-            JE = J_Es(zv)
-            JI = J_Is(zv)
+        def kkt_error_from(g, JE, JI, cE, cI, s, y, w, mu_b):
+            """Scaled KKT error from already-evaluated pieces — the body
+            evaluates each iterate's gradient/Jacobians exactly once and
+            derives both the mu-error and the mu=0 error from them."""
             r_d = g - JE.T @ y - JI.T @ w
             r_sw = s * w - mu_b
-            cE = cEs(zv)
-            r_I = cIs(zv) - s
+            r_I = cI - s
             sd = jnp.maximum(
                 opt.g_max,
                 (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(w))) / max(mE + mI, 1),
@@ -220,13 +234,40 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
 
         def body(st: State):
             zv, s, y, w = st.zv, st.s, st.y, st.w
-            mu_b = st.mu_b
 
+            # ---- ONE evaluation set per iterate (grad + Jacobians +
+            # constraints); the KKT errors, the watchdog, the barrier
+            # update AND the Newton step below all reuse these pieces.
             g = g_fs(zv)
             JE = J_Es(zv)
             JI = J_Is(zv)
             cE = cEs(zv)
             cI = cIs(zv)
+
+            err_0 = kkt_error_from(g, JE, JI, cE, cI, s, y, w,
+                                   jnp.asarray(0.0, dtype))
+            err_mu = kkt_error_from(g, JE, JI, cE, cI, s, y, w, st.mu_b)
+
+            # watchdog: record the best iterate by mu=0 error
+            better = err_0 < st.best_err
+            best_zv = jnp.where(better, zv, st.best_zv)
+            best_s = jnp.where(better, s, st.best_s)
+            best_y = jnp.where(better, y, st.best_y)
+            best_w = jnp.where(better, w, st.best_w)
+            best_err = jnp.where(better, err_0, st.best_err)
+
+            done = err_0 <= opt.tol
+
+            # monotone Fiacco-McCormick barrier update at iteration start
+            shrink = err_mu <= opt.kappa_eps * st.mu_b
+            mu_b = jnp.where(
+                shrink,
+                jnp.maximum(opt.tol / 10.0,
+                            jnp.minimum(opt.kappa_mu * st.mu_b,
+                                        st.mu_b ** opt.theta_mu)),
+                st.mu_b,
+            )
+
             H = hess_lag(zv, y, w)
 
             sigma = w / s
@@ -236,21 +277,85 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 -r_d - JI.T @ ((w * cI - mu_b) / s),
                 -cE,
             ])
+            rhs1 = rhs[:n]
+            rhs2 = rhs[n:]
 
-            # --- parallel regularization ladder (inertia surrogate)
+            # --- parallel regularization ladder (inertia correction)
             base = jnp.maximum(st.delta, opt.delta0)
             ladder = base * (opt.delta_step ** jnp.arange(opt.n_deltas, dtype=dtype))
             eye_n = jnp.eye(n, dtype=dtype)
             eye_m = jnp.eye(mE, dtype=dtype)
 
-            def kkt_solve(delta):
-                # Householder-QR solve of the saddle system. LU-with-
-                # pivoting is serial per column (argmax + row swap) and
-                # pathologically slow on TPU — a vmapped batch of these
-                # KKT solves ran minutes per call; blocked QR stays on the
-                # MXU. QR handles the indefinite K exactly like LU did, so
-                # the inertia surrogate stays the directional-curvature
-                # test (curv > 0), not an over-strong SPD requirement.
+            def kkt_solve_chol(delta):
+                # Cholesky + Schur complement. W + delta*I must be SPD —
+                # a failed factorization yields NaNs and rejects the rung,
+                # which IS the inertia correction (same rule IPOPT uses:
+                # grow delta until the reduced Hessian is PD). Cholesky is
+                # blocked and MXU-friendly; LU-with-pivoting is serial per
+                # column and pathologically slow on TPU.
+                Wd = W + delta * eye_n
+                Lw = jnp.linalg.cholesky(Wd)
+
+                def wsolve(B):
+                    return jax.scipy.linalg.cho_solve((Lw, True), B)
+
+                WiJt = wsolve(JE.T)                       # (n, mE)
+                S = JE @ WiJt + opt.delta_d * eye_m       # SPD Schur
+                Ls = jnp.linalg.cholesky(S)
+
+                def full_solve(r1, r2):
+                    Wir1 = wsolve(r1)
+                    v = jax.scipy.linalg.cho_solve(
+                        (Ls, True), JE @ Wir1 - r2)
+                    return Wir1 - WiJt @ v, v
+
+                dz, v = full_solve(rhs1, rhs2)
+                # one iterative-refinement pass (float32-friendly);
+                # K @ sol computed blockwise without assembling K
+                res1 = Wd @ dz + JE.T @ v - rhs1
+                res2 = JE @ dz - opt.delta_d * v - rhs2
+                dzc, vc = full_solve(res1, res2)
+                dz = dz - dzc
+                v = v - vc
+                sol = jnp.concatenate([dz, v])
+                curv = dz @ (W @ dz) + delta * (dz @ dz)
+                good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
+                return sol, good
+
+            dd = jnp.asarray(opt.delta_d_al, dtype)
+            JtJ_dd = (JE.T @ JE) / dd
+            Jt_rhs2_dd = (JE.T @ rhs2) / dd
+
+            def kkt_solve_al(delta):
+                # exact elimination of the dual block with dual
+                # regularization dd (see IPMOptions.kkt); refinement
+                # below then removes the dd-bias by re-solving against
+                # the lightly-regularized (delta_d) saddle system.
+                G = W + delta * eye_n + JtJ_dd
+                L = jnp.linalg.cholesky(G)
+
+                def al_solve(r1, r2, jt_r2_dd):
+                    dz = jax.scipy.linalg.cho_solve((L, True), r1 + jt_r2_dd)
+                    v = (JE @ dz - r2) / dd
+                    return dz, v
+
+                dz, v = al_solve(rhs1, rhs2, Jt_rhs2_dd)
+                Wd = W + delta * eye_n
+                for _ in range(2):
+                    res1 = Wd @ dz + JE.T @ v - rhs1
+                    res2 = JE @ dz - opt.delta_d * v - rhs2
+                    dzc, vc = al_solve(res1, res2, (JE.T @ res2) / dd)
+                    dz = dz - dzc
+                    v = v - vc
+                sol = jnp.concatenate([dz, v])
+                curv = dz @ (W @ dz) + delta * (dz @ dz)
+                good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
+                return sol, good
+
+            def kkt_solve_qr(delta):
+                # Householder-QR on the full saddle system: handles
+                # indefinite W (inertia surrogate = directional-curvature
+                # test), at ~2x the flops of the Schur path.
                 K = jnp.block([
                     [W + delta * eye_n, JE.T],
                     [JE, -opt.delta_d * eye_m],
@@ -261,13 +366,14 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                     return jax.scipy.linalg.solve_triangular(R, Q.T @ b)
 
                 sol = ksolve(rhs)
-                # one iterative-refinement pass (float32-friendly)
                 sol = sol - ksolve(K @ sol - rhs)
                 dz = sol[:n]
                 curv = dz @ (W @ dz) + delta * (dz @ dz)
                 good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
                 return sol, good
 
+            kkt_solve = {"chol": kkt_solve_chol, "qr": kkt_solve_qr,
+                         "al_chol": kkt_solve_al}[opt.kkt]
             sols, goods = jax.vmap(kkt_solve)(ladder)
             first = jnp.argmax(goods)  # first True, or 0 if none
             any_good = jnp.any(goods)
@@ -333,26 +439,6 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 jnp.minimum(opt.delta_max, jnp.maximum(st.delta * 100.0, 1e-4)),
             )
 
-            # barrier update
-            err_mu = kkt_error(zv_n, s_n, y_n, w_n, mu_b)
-            shrink = err_mu <= opt.kappa_eps * mu_b
-            mu_n = jnp.where(
-                shrink,
-                jnp.maximum(opt.tol / 10.0,
-                            jnp.minimum(opt.kappa_mu * mu_b, mu_b ** opt.theta_mu)),
-                mu_b,
-            )
-
-            err_0 = kkt_error(zv_n, s_n, y_n, w_n, jnp.asarray(0.0, dtype))
-            done = err_0 <= opt.tol
-
-            better = err_0 < st.best_err
-            best_zv = jnp.where(better, zv_n, st.best_zv)
-            best_s = jnp.where(better, s_n, st.best_s)
-            best_y = jnp.where(better, y_n, st.best_y)
-            best_w = jnp.where(better, w_n, st.best_w)
-            best_err = jnp.where(better, err_0, st.best_err)
-
             if opt.debug:
                 jax.debug.print(
                     "it={i} err0={e:.3e} errmu={em:.3e} mu={m:.2e} a={a:.2e} "
@@ -365,15 +451,14 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                     wm=jnp.max(w_n),
                 )
 
-            return State(zv_n, s_n, y_n, w_n, mu_n, delta_n, st.it + 1, done,
+            return State(zv_n, s_n, y_n, w_n, mu_b, delta_n, st.it + 1, done,
                          best_zv, best_s, best_y, best_w, best_err)
 
-        err_init = kkt_error(z0, s0, y0, w0, jnp.asarray(0.0, dtype))
         st0 = State(
             z0, s0, y0, w0, mu_b0,
             jnp.asarray(opt.delta0, dtype), jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
-            z0, s0, y0, w0, err_init,
+            z0, s0, y0, w0, jnp.asarray(jnp.inf, dtype),
         )
         st = jax.lax.while_loop(cond, body, st0)
 
