@@ -95,8 +95,11 @@ def main():
     # float32-appropriate tolerances (the closed-loop scan uses the same):
     # scaled-KKT 1e-6 is below f32 resolution for this problem size and
     # just burns the full iteration budget on already-solved instances.
+    # n_deltas=1: free-time problems never need the ladder (feasible
+    # fraction stays 1.0) and it is ~25% faster than the robust default.
     solve = make_obca_solver(spec, IPMOptions(
-        max_iters=iters, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3
+        max_iters=iters, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3,
+        n_deltas=1,
     ))
     vsolve = jax.jit(jax.vmap(solve), device=dev)
 

@@ -21,10 +21,16 @@ def _parse():
     ap.add_argument("--demo", default="demo1",
                     help="demo1..demo11 (reference src/demo_setting.py:82-341)")
     ap.add_argument("--mode", default="closed",
-                    choices=["closed", "scan", "astar", "open"],
+                    choices=["closed", "scan", "astar", "open", "perf",
+                             "time"],
                     help="closed: host receding-horizon loop; scan: jitted "
                          "lax.scan rollout; astar: front-end only; open: "
-                         "two-phase open-loop (simulation.run equivalent)")
+                         "two-phase open-loop (simulation.run equivalent); "
+                         "perf: A*/open/closed state+input comparison "
+                         "(show_performance equivalent); time: wall-clock "
+                         "A* + open-loop timing (calc_time equivalent)")
+    ap.add_argument("--out-prefix", default=None,
+                    help="perf mode: write {prefix}_states/inputs/paths.png")
     ap.add_argument("--max-steps", type=int, default=30)
     ap.add_argument("--N", type=int, default=None,
                     help="override horizon (free and fix)")
@@ -78,6 +84,36 @@ def main():
         if not args.quiet:
             for i in range(ref.shape[1]):
                 print(f"  {ref[0, i]:7.2f} {ref[1, i]:7.2f} {ref[2, i]:7.3f}")
+        return 0
+
+    if args.mode == "time":
+        from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime import (
+            Simulation,
+        )
+
+        rep = Simulation(dtype=dtype).calc_time(args.demo, N=args.N or 10)
+        print(f"{args.demo}: A* {rep.astar_s * 1e3:.2f} ms "
+              f"(reference {rep.extras['reference_astar_s'] * 1e3:.1f} ms); "
+              f"open-loop N={rep.open_loop_N} {rep.open_loop_s:.2f} s "
+              f"feas={rep.open_loop_feas} "
+              f"(reference N=10: {rep.extras['reference_open_loop_N10_s']} s)")
+        return 0
+
+    if args.mode == "perf":
+        from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime import (
+            Simulation,
+        )
+
+        prefix = args.out_prefix or f"{args.demo}_perf"
+        recs = Simulation(dtype=dtype).show_performance(
+            args.demo, N_open=args.N or 50, max_steps=args.max_steps,
+            out_prefix=prefix,
+        )
+        for label, rec in recs.items():
+            xs = rec.get("x")
+            n = 0 if xs is None else np.asarray(xs).shape[1]
+            print(f"  {label}: {n} states recorded")
+        print(f"wrote {prefix}_states.png / _inputs.png / _paths.png")
         return 0
 
     if args.mode == "scan":

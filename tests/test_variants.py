@@ -1,0 +1,140 @@
+"""Solver-variant API surface beyond the three live ones (SURVEY.md 2.3):
+the legacy ``obca`` fix mode's terminal position-equality + heading band
+(src/obca.py:220-225), ``obca_mpc7``-style Topt boxes (src/obca.py:1207),
+and ``obca_mpc_dyn``-style in-graph obstacle motion coupled to the
+optimized time scale (src/obca.py:1760-1802)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.models import (
+    OBCASpec,
+    build_obca_data,
+    init_vars,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.models import (
+    obca as mobca,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime import (
+    astar_host,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.reference import (
+    window_reference,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios import (
+    build_scenario,
+    get_demo,
+)
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.solver import (
+    IPMOptions,
+    make_obca_solver,
+)
+
+N = 5
+
+
+@pytest.fixture(scope="module")
+def demo1_world():
+    """A replan problem from a path-interior pose (heading consistent
+    with the window ahead — the realistic mid-rollout situation)."""
+    demo = get_demo("demo1")
+    scn, shape = build_scenario(demo, dtype=jnp.float64)
+    ref = astar_host.reference_path_for(
+        np.asarray(scn.grid), demo.start, demo.goal
+    )
+    x0 = jnp.asarray(ref[:, 2])
+    xref = window_reference(jnp.asarray(ref), ref.shape[1], x0, N)
+    return demo, scn, shape, x0, xref
+
+
+def test_fix_eq_band_terminal(demo1_world):
+    demo, scn, shape, x0, xref = demo1_world
+    spec = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                    variant="fix_eq_band")
+    data = build_obca_data(spec, scn, x0=x0, u0=jnp.zeros(2),
+                           xref=xref, Ts=2.0)
+    solve = make_obca_solver(spec, IPMOptions(max_iters=150,
+                                              acceptable_tol=5e-3,
+                                              feas_tol=1e-4))
+    res = solve(data, init_vars(spec, data))
+    assert bool(res.feas), (float(res.kkt_err), float(res.viol))
+    x = np.asarray(res.z["x"])
+    ref = np.asarray(xref)
+    # terminal position equality (src/obca.py:220-223)
+    np.testing.assert_allclose(x[:2, N], ref[:2, N], atol=1e-4)
+    # heading inside the +-pi/4 band (src/obca.py:224-225)
+    assert abs(x[2, N] - ref[2, N]) <= np.pi / 4 + 1e-6
+
+
+def test_topt_box_override(demo1_world):
+    demo, scn, shape, x0, xref = demo1_world
+    spec = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                    variant="free")
+    data = build_obca_data(spec, scn, x0=x0, u0=jnp.zeros(2),
+                           xref=xref, Ts=2.0, t_bounds=(0.8, 1.2))
+    solve = make_obca_solver(spec, IPMOptions(max_iters=150,
+                                              acceptable_tol=5e-3,
+                                              feas_tol=1e-4))
+    res = solve(data, init_vars(spec, data))
+    assert bool(res.feas)
+    assert 0.8 - 1e-6 <= float(res.z["T"]) <= 1.2 + 1e-6
+
+
+def test_coupled_motion_b_offsets_match_manual():
+    """Under coupled_motion, the OBCA distance term must see obstacle i
+    translated by k * Ts * T * vel_i — validated against a manually
+    translated static build at the same (frozen) T."""
+    demo = get_demo("demo1")
+    scn, shape = build_scenario(demo, dtype=jnp.float64)
+    ref = astar_host.reference_path_for(
+        np.asarray(scn.grid), demo.start, demo.goal
+    )
+    xref = window_reference(jnp.asarray(ref), ref.shape[1],
+                            jnp.asarray(demo.start), N)
+    spec_c = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                      variant="free", coupled_motion=True)
+    data_c = build_obca_data(spec_c, scn, x0=scn.start, u0=jnp.zeros(2),
+                             xref=xref, Ts=0.1,
+                             dyn_active=jnp.ones(scn.d_mask.shape))
+    z = init_vars(spec_c, data_c)
+    z["T"] = jnp.asarray(3.0, jnp.float64)
+
+    spec_s = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                      variant="free")
+    # data-tensor prediction at Ts_pred = Ts * T reproduces the same
+    # world the coupled graph computes at T = 3
+    data_s = build_obca_data(spec_s, scn, x0=scn.start, u0=jnp.zeros(2),
+                             xref=xref, Ts=0.1,
+                             dyn_active=jnp.ones(scn.d_mask.shape),
+                             Ts_pred=0.1 * 3.0)
+    cl_coupled = np.asarray(mobca.signed_clearance(spec_c, data_c, z))
+    cl_static = np.asarray(mobca.signed_clearance(spec_s, data_s, z))
+    np.testing.assert_allclose(cl_coupled, cl_static, atol=1e-9)
+
+
+def test_free_with_moving_obstacles_is_obca2():
+    """obca2's free mode (src/obca.py:338, cursor outside the k loop)
+    = the 'free' variant fed a time-varying obstacle tensor: the same
+    spec, moving world as data."""
+    demo = get_demo("demo1")
+    scn, shape = build_scenario(demo, dtype=jnp.float64)
+    ref = astar_host.reference_path_for(
+        np.asarray(scn.grid), demo.start, demo.goal
+    )
+    x0 = jnp.asarray(ref[:, 2])
+    xref = window_reference(jnp.asarray(ref), ref.shape[1], x0, N)
+    spec = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                    variant="free")
+    data = build_obca_data(spec, scn, x0=x0, u0=jnp.zeros(2),
+                           xref=xref, Ts=0.1,
+                           dyn_active=jnp.ones(scn.d_mask.shape),
+                           Ts_pred=0.1)
+    b = np.asarray(data.b)
+    # the dynamic obstacle's b really varies across the horizon
+    assert not np.allclose(b[0, -1], b[N, -1])
+    solve = make_obca_solver(spec, IPMOptions(max_iters=200,
+                                              acceptable_tol=5e-3,
+                                              feas_tol=1e-4))
+    res = solve(data, init_vars(spec, data))
+    assert bool(res.feas), (float(res.kkt_err), float(res.viol))

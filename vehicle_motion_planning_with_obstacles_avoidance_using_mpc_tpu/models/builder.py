@@ -41,6 +41,7 @@ def build_obca_data(
     dmin=0.05,
     time_c1=10.0,
     time_c2=1.0,
+    t_bounds=None,
 ) -> OBCAData:
     """Build the NLP data for one solve.
 
@@ -98,10 +99,18 @@ def build_obca_data(
     Ts = jnp.asarray(Ts, dtype)
     p = q if p is None else p
 
-    # free-time upper bound on the time scale (src/obca.py:961-963 —
-    # the signed coordinate-sum "distance", reproduced as-is)
-    dis = (xref[0, N] - x0[0]) + (xref[1, N] - x0[1])
-    T_max = dis / (N * v_max * Ts) + 1.0
+    # free-time bounds on the time scale (src/obca.py:961-963 — the
+    # signed coordinate-sum "distance", reproduced as-is). ``t_bounds``
+    # overrides both, covering the legacy variants' alternatives:
+    # obca/obca2 'timeScale_size' (src/obca.py:234-240) and obca_mpc7's
+    # [0.8, 1.2] box (src/obca.py:1207).
+    if t_bounds is None:
+        dis = (xref[0, N] - x0[0]) + (xref[1, N] - x0[1])
+        T_max = dis / (N * v_max * Ts) + 1.0
+        T_lo = jnp.asarray(1e-4, dtype)
+    else:
+        T_lo = jnp.asarray(t_bounds[0], dtype)
+        T_max = jnp.asarray(t_bounds[1], dtype)
 
     ego = jnp.asarray(ego, dtype)
     L = ego[0] + ego[2]
@@ -139,4 +148,11 @@ def build_obca_data(
         alpha_max=jnp.asarray(alpha_max, dtype),
         time_c1=jnp.asarray(time_c1, dtype),
         time_c2=jnp.asarray(time_c2, dtype),
+        T_lo=T_lo,
+        # world velocities for spec.coupled_motion (in-graph prediction);
+        # zero for static obstacles and un-sensed dynamic ones
+        obs_vel=jnp.concatenate(
+            [jnp.zeros((nS, 2), dtype), scn.d_vel * dyn_active[:, None]],
+            axis=0,
+        ),
     )

@@ -48,12 +48,35 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class OBCASpec:
-    """Static problem shape — a jit static argument / cache key."""
+    """Static problem shape — a jit static argument / cache key.
+
+    Variants (SURVEY.md 2.3 mapping to the reference's solver methods):
+      'free'         — time-optimal, terminal equality (obca_mpc4,
+                       src/obca.py:828; with a moving-obstacle data tensor
+                       it is obca2's free mode, src/obca.py:338)
+      'fix_terminal' — fixed Ts, terminal set (obca_mpc6, :1361)
+      'fix_free_end' — fixed Ts, no terminal (obca_mpc8 fallback, :1564)
+      'fix_eq_band'  — fixed Ts, terminal position equality + heading band
+                       |theta_N - thetaref_N| <= theta_band (the legacy
+                       ``obca`` fix mode's pos-eq + pi/4 band, :220-225)
+    Orthogonal switches:
+      coupled_motion — obstacle translation over the horizon computed
+                       in-graph as k * Ts * T * vel (free time): the
+                       intent of the dead ``obca_mpc_dyn`` (:1760), which
+                       carried symbolic vertex trajectories; here it is a
+                       b-vector offset since translation preserves A.
+      theta_band     — the band half-width for 'fix_eq_band'.
+    obca/obca2's 'timeScale_size' and obca_mpc7's [0.8, 1.2] Topt boxes
+    (:234-240, :1207) are data, not shape: set OBCAData.T_lo / T_max.
+    obca_mpc3's lambda-only mode (:777-799) is an incomplete OBCA
+    (drops stationarity condition 2) — a defect, deliberately not
+    replicated (SURVEY.md 2.5).
+    """
 
     N: int
     n_obs: int
     e_max: int
-    variant: str  # 'free' | 'fix_terminal' | 'fix_free_end'
+    variant: str  # 'free' | 'fix_terminal' | 'fix_free_end' | 'fix_eq_band'
     nx: int = 3
     nu: int = 2
     # Tiny proximal term on the active OBCA duals. The (lambda, mu)
@@ -63,9 +86,15 @@ class OBCASpec:
     # perturbing the trajectory only at O(dual_reg) — the standard
     # "relaxed OBCA" device.
     dual_reg: float = 1e-6
+    coupled_motion: bool = False
+    theta_band: float = 0.7853981633974483  # pi/4, src/obca.py:224-225
 
     def __post_init__(self):
-        assert self.variant in ("free", "fix_terminal", "fix_free_end")
+        assert self.variant in (
+            "free", "fix_terminal", "fix_free_end", "fix_eq_band"
+        )
+        if self.coupled_motion:
+            assert self.variant == "free", "coupled motion needs free time"
 
     @property
     def free_time(self):
@@ -100,6 +129,10 @@ class OBCAData(NamedTuple):
     alpha_max: jnp.ndarray   # ()
     time_c1: jnp.ndarray     # ()
     time_c2: jnp.ndarray     # ()
+    T_lo: jnp.ndarray        # () free-time lower bound (src/obca.py:963
+    #                            default 1e-4; obca_mpc7 uses 0.8, :1207)
+    obs_vel: jnp.ndarray     # (nO, 2) world velocity, used only under
+    #                            spec.coupled_motion (in-graph prediction)
 
 
 _PIN_RHO = 1.0  # curvature of the padded-dual zero penalty
@@ -203,10 +236,21 @@ def _obca_terms(spec, data, z):
     """Shared per-(k, i) quantities.
 
     q1[k, i] = A[k, i]^T lam[k, i]  (2-vector)
+
+    Under ``spec.coupled_motion`` the obstacle offsets move in-graph with
+    the *optimized* time scale: b_k = b + A (k * Ts * T * vel) — the
+    translation-only restatement of obca_mpc_dyn's symbolic vertex
+    trajectories (src/obca.py:1792-1802, 1961-1964).
     """
     lam = z["lam"]  # (N+1, nO, E)
+    b = data.b
+    if spec.coupled_motion:
+        ks = jnp.arange(spec.N + 1, dtype=b.dtype)
+        delta = (ks[:, None, None] * (data.Ts * z["T"])
+                 * data.obs_vel[None])                  # (N+1, nO, 2)
+        b = b + jnp.einsum("kied,kid->kie", data.A, delta)
     q1 = jnp.einsum("kied,kie->kid", data.A, lam)       # (N+1, nO, 2)
-    blam = jnp.einsum("kie,kie->ki", data.b, lam)       # (N+1, nO)
+    blam = jnp.einsum("kie,kie->ki", b, lam)            # (N+1, nO)
     return q1, blam
 
 
@@ -263,6 +307,10 @@ def eq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
     parts = [dyn.reshape(-1), init]
     if spec.variant == "free":
         parts.append(x[:, N] - data.xref[:, N])  # src/obca.py:951
+    elif spec.variant == "fix_eq_band":
+        # legacy obca fix mode: terminal position equality, heading free
+        # within a band handled in the inequalities (src/obca.py:220-223)
+        parts.append(x[:2, N] - data.xref[:2, N])
 
     # OBCA stationarity, masked as described in the module docstring
     q1, _ = _obca_terms(spec, data, z)
@@ -277,33 +325,92 @@ def eq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
     return jnp.concatenate(parts)
 
 
-def ineq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
-    """Stacked inequality residuals (>= 0)."""
+def ineq_identity_layout(spec: OBCASpec):
+    """Flat-z indices of the *identity* inequality rows — rows of the form
+    ``sgn * z_flat[idx] + off >= 0`` (bound constraints). These are ~85%
+    of all inequality rows (dual positivity + state/input/time boxes);
+    declaring them lets the IPM build its Newton system with gathers and
+    a diagonal scatter-add instead of dense Jacobian matmuls.
+
+    Row order (must match :func:`ineq_identity_sgn_off`):
+      lam (src/obca.py:957), mu (:958), x/y box (:916-917),
+      u box (:922-923), T box (free, :961-963).
+
+    Returns an int numpy index array into ``ravel_pytree(z)`` — the dict
+    pytree flattens in sorted-key order ('T', 'lam', 'mu', 'u', 'x').
+    """
+    import numpy as np
+
+    N, nO, E = spec.N, spec.n_obs, spec.e_max
+    sizes = {}
+    off = 0
+    for key, shape in (
+        [("T", ())] if spec.free_time else []
+    ) + [("lam", (N + 1, nO, E)), ("mu", (N + 1, nO, 4)),
+         ("u", (2, N)), ("x", (3, N + 1))]:
+        cnt = int(np.prod(shape)) if shape else 1
+        sizes[key] = (off, shape)
+        off += cnt
+
+    def idx_of(key, *coords):
+        base, shape = sizes[key]
+        if not shape:
+            return base
+        return base + int(np.ravel_multi_index(coords, shape))
+
+    rows = []
+    rows.extend(range(sizes["lam"][0], sizes["lam"][0] + (N + 1) * nO * E))
+    rows.extend(range(sizes["mu"][0], sizes["mu"][0] + (N + 1) * nO * 4))
+    for i in range(2):  # x/y lower then upper, per coordinate
+        lo = [idx_of("x", i, t) for t in range(N + 1)]
+        rows.extend(lo)
+        rows.extend(lo)
+    for i in range(2):
+        lo = [idx_of("u", i, t) for t in range(N)]
+        rows.extend(lo)
+        rows.extend(lo)
+    if spec.free_time:
+        rows.extend([idx_of("T"), idx_of("T")])
+    return np.asarray(rows, dtype=np.int64)
+
+
+def ineq_identity_sgn_off(spec: OBCASpec, data: OBCAData):
+    """(sgn, off) for the identity inequality rows, same order as
+    :func:`ineq_identity_layout`. Masked dual rows get sgn = 0, off = 1
+    (the constant ``1 >= 0`` row of the masking scheme)."""
+    N = spec.N
+    dtype = data.x0.dtype
+    lam_mask, obs_mask = _dual_masks(spec, data)
+    lam_m = jnp.broadcast_to(lam_mask[None], (N + 1,) + lam_mask.shape).reshape(-1)
+    mu_m = jnp.broadcast_to(
+        obs_mask[None, :, None], (N + 1, spec.n_obs, 4)
+    ).reshape(-1)
+    one = jnp.ones((), dtype)
+
+    sgns = [lam_m, mu_m]
+    offs = [1.0 - lam_m, 1.0 - mu_m]
+    for i in range(2):
+        np1 = jnp.ones((N + 1,), dtype)
+        sgns.extend([np1, -np1])
+        offs.extend([-data.x_lo[i] * np1, data.x_hi[i] * np1])
+    for i in range(2):
+        nn = jnp.ones((N,), dtype)
+        sgns.extend([nn, -nn])
+        offs.extend([-data.u_lo[i] * nn, data.u_hi[i] * nn])
+    if spec.free_time:
+        sgns.append(jnp.stack([one, -one]))
+        offs.append(jnp.stack([-data.T_lo, data.T_max]))
+    return jnp.concatenate(sgns), jnp.concatenate(offs)
+
+
+def ineq_constraints_dense(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
+    """The non-bound inequality rows: acceleration limits, terminal set,
+    and the OBCA norm/distance conditions."""
     x, u = z["x"], z["u"]
     N = spec.N
-    lam_mask, obs_mask = _dual_masks(spec, data)
+    _, obs_mask = _dual_masks(spec, data)
     one = jnp.asarray(1.0, x.dtype)
-
     parts = []
-
-    # dual positivity (src/obca.py:957-958); masked rows -> constant 1
-    lam = z["lam"]
-    mu = z["mu"]
-    parts.append(jnp.where(lam_mask[None] > 0, lam, one).reshape(-1))
-    parts.append(
-        jnp.where(obs_mask[None, :, None] > 0, mu, one).reshape(-1)
-    )
-
-    # state box on x, y only — theta deliberately unbounded
-    # (src/obca.py:916-917 loops nx-1)
-    for i in range(2):
-        parts.append(x[i] - data.x_lo[i])
-        parts.append(data.x_hi[i] - x[i])
-
-    # input box (src/obca.py:922-923)
-    for i in range(2):
-        parts.append(u[i] - data.u_lo[i])
-        parts.append(data.u_hi[i] - u[i])
 
     # acceleration bounds (src/obca.py:928-939), scaled through by the
     # positive dt to stay polynomial — identical feasible set
@@ -314,16 +421,16 @@ def ineq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
     parts.append(data.alpha_max * dt - du[1])
     parts.append(du[1] + data.alpha_max * dt)
 
-    if spec.free_time:
-        # Topt box (src/obca.py:961-963)
-        parts.append(jnp.reshape(z["T"] - _T_MIN, (1,)))
-        parts.append(jnp.reshape(data.T_max - z["T"], (1,)))
-
     if spec.variant == "fix_terminal":
         # terminal set (src/obca.py:1465-1466)
         parts.append(jnp.reshape(x[0, N] - data.terminal_set[0, 0], (1,)))
         parts.append(jnp.reshape(x[1, N] - data.terminal_set[1, 0], (1,)))
         parts.append(jnp.reshape(data.terminal_set[1, 1] - x[1, N], (1,)))
+    elif spec.variant == "fix_eq_band":
+        # heading band around the terminal reference (src/obca.py:224-225)
+        dth = x[2, N] - data.xref[2, N]
+        parts.append(jnp.reshape(spec.theta_band - dth, (1,)))
+        parts.append(jnp.reshape(dth + spec.theta_band, (1,)))
 
     # OBCA norm + distance rows, masked -> constant 1
     q1, blam = _obca_terms(spec, data, z)
@@ -331,7 +438,7 @@ def ineq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
     norm_row = jnp.where(m > 0, 1.0 - jnp.sum(q1 * q1, axis=-1), one)
     parts.append(norm_row.reshape(-1))
 
-    gmu = jnp.einsum("g,kig->ki", data.ego_g, mu)
+    gmu = jnp.einsum("g,kig->ki", data.ego_g, z["mu"])
     tx = x[0] + jnp.cos(x[2]) * data.ego_offset
     ty = x[1] + jnp.sin(x[2]) * data.ego_offset
     dist = -gmu + tx[:, None] * q1[:, :, 0] + ty[:, None] * q1[:, :, 1] - blam
@@ -339,6 +446,18 @@ def ineq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
     parts.append(dist_row.reshape(-1))
 
     return jnp.concatenate(parts)
+
+
+def ineq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
+    """Stacked inequality residuals (>= 0): identity (bound) rows first,
+    then the dense rows — consistent with the layout/sgn-off helpers."""
+    from jax.flatten_util import ravel_pytree
+
+    zflat, _ = ravel_pytree(z)
+    idx = ineq_identity_layout(spec)
+    sgn, off = ineq_identity_sgn_off(spec, data)
+    id_rows = sgn * zflat[idx] + off
+    return jnp.concatenate([id_rows, ineq_constraints_dense(spec, data, z)])
 
 
 def signed_clearance(spec: OBCASpec, data: OBCAData, z):

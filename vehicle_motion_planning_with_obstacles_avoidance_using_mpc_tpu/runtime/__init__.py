@@ -2,6 +2,7 @@
 
 from . import astar_host, reference
 from .closed_loop import ClosedLoopResult, ClosedLoopRunner, run_closed_loop
+from .simulation import Simulation, TimingReport
 
 __all__ = [
     "astar_host",
@@ -9,4 +10,6 @@ __all__ = [
     "ClosedLoopResult",
     "ClosedLoopRunner",
     "run_closed_loop",
+    "Simulation",
+    "TimingReport",
 ]

@@ -48,14 +48,39 @@ class OpenLoopResult:
     fix: dict | None       # phase-2 record (None when no dynamic obstacles)
 
 
-def _resampled_astar_init(scn, demo, N, dtype):
-    """A* path resampled to N+1 columns with recomputed headings."""
-    ref = astar_host.reference_path_for(
-        np.asarray(scn.grid), demo.start, demo.goal
-    )
+def _resampled_astar_init(scn, demo, N, dtype, dilation=0, align_start=False):
+    """A* path resampled to N+1 columns with recomputed headings.
+
+    ``dilation`` runs the search on a disk-dilated grid so the knots keep
+    clearance from walls (the raw path hugs corners, which at large
+    inter-knot spacing leaves the ego box penetrating at the knots).
+    ``align_start`` replaces knot 1 so the first chord points along the
+    fixed start heading — the init equality x_0 == x0 pins theta_0, and
+    the unicycle can only leave x0 along it; a misaligned first chord is
+    a local infeasibility the IPM cannot repair without a restoration
+    phase (IPOPT-style), so the candidate set repairs it instead.
+    """
+    grid = np.asarray(scn.grid)
+    if dilation > 0:
+        from ..ops.rasterize import dilate_grid
+
+        g = np.array(dilate_grid(grid, dilation))
+        g[int(demo.start[1]), int(demo.start[0])] = 0
+        g[int(demo.goal[1]), int(demo.goal[0])] = 0
+        try:
+            ref = astar_host.reference_path_for(g, demo.start, demo.goal)
+        except ValueError:  # dilation sealed the corridor — fall back
+            ref = astar_host.reference_path_for(grid, demo.start, demo.goal)
+    else:
+        ref = astar_host.reference_path_for(grid, demo.start, demo.goal)
     L = ref.shape[1]
     idx = np.linspace(0, L - 1, N + 1)
     xy = np.stack([np.interp(idx, np.arange(L), ref[i]) for i in range(2)])
+    if align_start:
+        d1 = float(np.hypot(*(xy[:, 1] - xy[:, 0])))
+        th0 = float(demo.start[2])
+        xy[:, 1] = np.asarray(demo.start[:2]) + d1 * np.array(
+            [np.cos(th0), np.sin(th0)])
     th = np.arctan2(np.diff(xy[1]), np.diff(xy[0]))
     th = np.concatenate([th, th[-1:]])
     out = np.concatenate([xy, th[None]])
@@ -78,7 +103,7 @@ def run_open_loop(demo_name: str, N: int = 50, N_fix: int | None = None,
     spec_f = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
                       variant="free")
     solve_f = make_multistart_solver(
-        spec_f, make_obca_solver(spec_f, opt), init_vars, 3
+        spec_f, make_obca_solver(spec_f, opt), init_vars, 5
     )
     xref = start_goal_reference(scn.start, scn.goal, N).astype(dtype)
     data_f = build_obca_data(
@@ -91,6 +116,10 @@ def run_open_loop(demo_name: str, N: int = 50, N_fix: int | None = None,
         xref,
         start_goal_smooth_reference(scn.start, scn.goal, N).astype(dtype),
         _resampled_astar_init(scn, demo, N, dtype),
+        _resampled_astar_init(scn, demo, N, dtype, dilation=2,
+                              align_start=True),
+        _resampled_astar_init(scn, demo, N, dtype, dilation=1,
+                              align_start=True),
     ])
     res_f, _ = solve_f(data_f, cands)
     Ts_opt = float(res_f.z["T"]) * p.Ts  # src/obca.py:1059

@@ -27,6 +27,12 @@ def make_obca_solver(spec: OBCASpec, options: IPMOptions = IPMOptions(),
     def cI_fn(z, data):
         return _obca.ineq_constraints(spec, data, z)
 
+    def cI_dense_fn(z, data):
+        return _obca.ineq_constraints_dense(spec, data, z)
+
+    def sgn_off_fn(data):
+        return _obca.ineq_identity_sgn_off(spec, data)
+
     z_example = _obca.init_vars(spec, example_data or _dummy_data(spec))
     # variable scaling: positions ~ map scale, duals O(1), time scale O(10)
     import jax.numpy as jnp
@@ -35,7 +41,10 @@ def make_obca_solver(spec: OBCASpec, options: IPMOptions = IPMOptions(),
     z_scale["x"] = z_scale["x"] * jnp.asarray([[10.0], [10.0], [3.0]])
     if "T" in z_scale:
         z_scale["T"] = z_scale["T"] * 30.0
-    base = build_solver(f_fn, cE_fn, cI_fn, z_example, options, z_scale=z_scale)
+    base = build_solver(
+        f_fn, cE_fn, cI_fn, z_example, options, z_scale=z_scale,
+        ineq_id=(_obca.ineq_identity_layout(spec), sgn_off_fn, cI_dense_fn),
+    )
 
     def solve(data: OBCAData, z0=None):
         if z0 is None:
@@ -59,6 +68,7 @@ def _dummy_data(spec: OBCASpec):
         Ts=zeros(()), dmin=zeros(()), ego_g=zeros(4), ego_offset=zeros(()),
         terminal_set=zeros((2, 2)), T_max=zeros(()), a_max=zeros(()),
         alpha_max=zeros(()), time_c1=zeros(()), time_c2=zeros(()),
+        T_lo=zeros(()), obs_vel=zeros((nO, 2)),
     )
 
 

@@ -68,7 +68,14 @@ class IPMOptions:
     delta0: float = 1e-8         # base primal regularization
     delta_max: float = 1e8
     delta_d: float = 1e-8        # dual regularization
-    n_deltas: int = 3            # parallel regularization ladder size
+    # Regularization ladder size. Every rung pays a factorization on
+    # EVERY iteration, so smaller is faster (measured: 1 rung 95 vs 3
+    # rungs 58 solves/s at batch 256) — but a failed rung costs a
+    # rejected step, and on near-contact fix-time solves a single rung
+    # oscillates (delta decays on success, the next chol fails) enough
+    # to abort the closed loop. 2 is the robust fast point; pure
+    # free-time sweeps (bench) safely run 1.
+    n_deltas: int = 2
     delta_step: float = 100.0    # ladder ratio
     n_backtracks: int = 16       # vectorized filter candidates
     g_max: float = 100.0         # gradient-based scaling threshold
@@ -87,6 +94,11 @@ class IPMOptions:
     #   for OBCA (kept for experiments).
     kkt: str = "al_chol"
     delta_d_al: float = 1e-2     # dual regularization of the AL kernel
+    # MXU passes for f32 matmuls: 'highest' = full f32 emulation (6
+    # bf16 passes), 'high' = bf16x3. Newton-KKT tolerates 'high' thanks
+    # to the iterative refinement in the KKT solve; 'default' (1 bf16
+    # pass) stalls the iteration.
+    matmul_precision: str = "highest"
     debug: bool = False          # per-iteration jax.debug.print trace
 
 
@@ -110,22 +122,45 @@ def _row_scales(J, g_max):
 
 def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                  z_example, options: IPMOptions = IPMOptions(),
-                 z_scale=None):
+                 z_scale=None, ineq_id=None):
     """Compile-time construction of a solver for one problem family.
 
     f_fn/cE_fn/cI_fn: (z_pytree, params) -> scalar / (mE,) / (mI,).
     ``z_example`` fixes the variable pytree structure; ``z_scale`` is an
     optional pytree of typical magnitudes (same structure) so that internal
-    regularization acts on O(1) quantities. Returns
-    ``solve(z0_pytree, params) -> IPMResult`` — jit it, vmap it.
+    regularization acts on O(1) quantities.
+
+    ``ineq_id`` optionally declares the *identity* (bound) inequality rows
+    so the Newton system is built with gathers and a diagonal scatter-add
+    instead of dense Jacobian matmuls — on the OBCA NLP these are ~85% of
+    all inequality rows. It is a tuple
+    ``(idx, sgn_off_fn, cI_dense_fn)`` where ``idx`` is a host int array
+    into the *flattened* z, ``sgn_off_fn(params) -> (sgn, off)`` gives
+    ``cI_id = sgn * z_flat[idx] + off``, and ``cI_dense_fn(z, params)``
+    evaluates the remaining rows; ``cI_fn`` must equal their
+    concatenation (identity rows first).
+
+    Returns ``solve(z0_pytree, params) -> IPMResult`` — jit it, vmap it.
     """
+    import numpy as np
+
     _, unravel = ravel_pytree(z_example)
     opt = options
+    n = ravel_pytree(z_example)[0].shape[0]
 
     if z_scale is None:
         d_scale = jnp.ones_like(ravel_pytree(z_example)[0])
     else:
         d_scale = ravel_pytree(z_scale)[0]
+
+    if ineq_id is None:
+        id_idx = np.zeros((0,), dtype=np.int64)
+        sgn_off_fn = None
+        cI_dense_fn = cI_fn
+    else:
+        id_idx, sgn_off_fn, cI_dense_fn = ineq_id
+        id_idx = np.asarray(id_idx, dtype=np.int64)
+    m_id = id_idx.shape[0]
 
     def f_flat(zv, params):
         return f_fn(unravel(zv * d_scale), params)
@@ -136,29 +171,45 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
     def cI_flat(zv, params):
         return cI_fn(unravel(zv * d_scale), params)
 
+    def cI_dense_flat(zv, params):
+        return cI_dense_fn(unravel(zv * d_scale), params)
+
     grad_f = jax.grad(f_flat)
     jac_E = jax.jacrev(cE_flat)
-    jac_I = jax.jacrev(cI_flat)
+    jac_I_dense = jax.jacrev(cI_dense_flat)
 
     def solve(z0_pytree, params):
         # TPU MXU truncates f32 matmuls to bf16 by default; Newton-KKT
-        # directions need full f32 accumulation or the iteration stalls.
-        with jax.default_matmul_precision("highest"):
+        # directions need multi-pass accumulation or the iteration stalls.
+        with jax.default_matmul_precision(opt.matmul_precision):
             return _solve(z0_pytree, params)
 
     def _solve(z0_pytree, params):
         z0 = ravel_pytree(z0_pytree)[0] / d_scale
         dtype = z0.dtype
-        n = z0.shape[0]
 
-        # ---- gradient-based scaling at z0 (Ipopt's scheme)
+        # ---- identity-row structure (empty when ineq_id not given)
+        if sgn_off_fn is None:
+            sgn_eff = jnp.zeros((0,), dtype)
+            id_off = jnp.zeros((0,), dtype)
+        else:
+            sgn_raw, id_off = sgn_off_fn(params)
+            # Jacobian of sgn * (zv * d_scale)[idx] wrt the scaled zv
+            sgn_eff = sgn_raw.astype(dtype) * d_scale[id_idx]
+
+        def cI_id(zv):
+            return sgn_eff * zv[id_idx] + id_off
+
+        # ---- gradient-based scaling at z0 (Ipopt's scheme). Identity
+        # rows keep scale 1 (single entries, all well under g_max).
         g0 = grad_f(z0, params)
         JE0 = jac_E(z0, params)
-        JI0 = jac_I(z0, params)
+        JD0 = jac_I_dense(z0, params)
         sf = jnp.minimum(1.0, opt.g_max / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-12))
         scE = _row_scales(JE0, opt.g_max)
-        scI = _row_scales(JI0, opt.g_max)
-        mE, mI = JE0.shape[0], JI0.shape[0]
+        scD = _row_scales(JD0, opt.g_max)
+        mE, mD = JE0.shape[0], JD0.shape[0]
+        mI = m_id + mD
 
         def fs(zv):
             return sf * f_flat(zv, params)
@@ -166,15 +217,33 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
         def cEs(zv):
             return scE * cE_flat(zv, params)
 
+        def cDs(zv):
+            return scD * cI_dense_flat(zv, params)
+
         def cIs(zv):
-            return scI * cI_flat(zv, params)
+            return jnp.concatenate([cI_id(zv), cDs(zv)])
 
         g_fs = jax.grad(fs)
         J_Es = jax.jacrev(cEs)
-        J_Is = jax.jacrev(cIs)
+        J_Ds = jax.jacrev(cDs)
 
-        def lag(zv, y, w):
-            return fs(zv) - y @ cEs(zv) - w @ cIs(zv)
+        # structured inequality-Jacobian ops: JI = [identity rows; dense]
+        def jiT_apply(JD, u):
+            out = JD.T @ u[m_id:]
+            return out.at[id_idx].add(sgn_eff * u[:m_id])
+
+        def ji_apply(JD, dz):
+            return jnp.concatenate([sgn_eff * dz[id_idx], JD @ dz])
+
+        def jiT_diag_ji(JD, sig):
+            dense = JD.T @ (sig[m_id:, None] * JD)
+            diag = jnp.zeros((n,), dtype).at[id_idx].add(
+                sgn_eff * sgn_eff * sig[:m_id])
+            return dense + jnp.diag(diag)
+
+        def lag(zv, y, w_d):
+            # identity rows are linear in z — zero curvature, excluded
+            return fs(zv) - y @ cEs(zv) - w_d @ cDs(zv)
 
         hess_lag = jax.hessian(lag)
 
@@ -192,11 +261,10 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             """Scaled constraint violation (the filter's second axis)."""
             return jnp.sum(jnp.abs(cEs(zv))) + jnp.sum(jnp.abs(cIs(zv) - s))
 
-        def kkt_error_from(g, JE, JI, cE, cI, s, y, w, mu_b):
+        def kkt_error_from(r_d, cE, cI, s, y, w, mu_b):
             """Scaled KKT error from already-evaluated pieces — the body
             evaluates each iterate's gradient/Jacobians exactly once and
             derives both the mu-error and the mu=0 error from them."""
-            r_d = g - JE.T @ y - JI.T @ w
             r_sw = s * w - mu_b
             r_I = cI - s
             sd = jnp.maximum(
@@ -240,13 +308,14 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             # update AND the Newton step below all reuse these pieces.
             g = g_fs(zv)
             JE = J_Es(zv)
-            JI = J_Is(zv)
+            JD = J_Ds(zv)
             cE = cEs(zv)
             cI = cIs(zv)
 
-            err_0 = kkt_error_from(g, JE, JI, cE, cI, s, y, w,
+            r_d = g - JE.T @ y - jiT_apply(JD, w)
+            err_0 = kkt_error_from(r_d, cE, cI, s, y, w,
                                    jnp.asarray(0.0, dtype))
-            err_mu = kkt_error_from(g, JE, JI, cE, cI, s, y, w, st.mu_b)
+            err_mu = kkt_error_from(r_d, cE, cI, s, y, w, st.mu_b)
 
             # watchdog: record the best iterate by mu=0 error
             better = err_0 < st.best_err
@@ -268,17 +337,12 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 st.mu_b,
             )
 
-            H = hess_lag(zv, y, w)
+            H = hess_lag(zv, y, w[m_id:])
 
             sigma = w / s
-            W = H + JI.T @ (sigma[:, None] * JI)
-            r_d = g - JE.T @ y - JI.T @ w
-            rhs = jnp.concatenate([
-                -r_d - JI.T @ ((w * cI - mu_b) / s),
-                -cE,
-            ])
-            rhs1 = rhs[:n]
-            rhs2 = rhs[n:]
+            W = H + jiT_diag_ji(JD, sigma)
+            rhs1 = -r_d - jiT_apply(JD, (w * cI - mu_b) / s)
+            rhs2 = -cE
 
             # --- parallel regularization ladder (inertia correction)
             base = jnp.maximum(st.delta, opt.delta0)
@@ -365,6 +429,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 def ksolve(b):
                     return jax.scipy.linalg.solve_triangular(R, Q.T @ b)
 
+                rhs = jnp.concatenate([rhs1, rhs2])
                 sol = ksolve(rhs)
                 sol = sol - ksolve(K @ sol - rhs)
                 dz = sol[:n]
@@ -384,7 +449,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
 
             dz = sol[:n]
             dy = -sol[n:]
-            ds = JI @ dz + (cI - s)
+            ds = ji_apply(JD, dz) + (cI - s)
             dw = -(s * w - mu_b + w * ds) / s
 
             # fraction-to-boundary

@@ -8,6 +8,7 @@ from .plotting import (
     car_outline,
     dyn_obstacle_outline,
     plot_comparison,
+    plot_states_inputs,
     plot_world,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "car_outline",
     "dyn_obstacle_outline",
     "plot_comparison",
+    "plot_states_inputs",
     "plot_world",
 ]

@@ -156,6 +156,55 @@ def animate_closed_loop(demo, result, gif_path, fps=5, sense_dis=None):
     return gif_path
 
 
+def plot_states_inputs(records, out_prefix):
+    """State/input comparison plots (draw-side of
+    ``simulation.show_performance``, src/simulation.py:146-208): x, y,
+    theta per step in one figure; v, omega per step in another.
+
+    ``records`` maps label -> {"x": (3, T) [, "u": (2, T')]}; entries with
+    missing pieces are skipped. Writes ``{out_prefix}_states.png`` and
+    ``{out_prefix}_inputs.png``; returns both paths.
+    """
+    names = ["x [m]", "y [m]", "theta [rad]"]
+    fig, axes = plt.subplots(3, 1, figsize=(8, 9), sharex=True)
+    for label, rec in records.items():
+        xs = rec.get("x")
+        if xs is None:
+            continue
+        xs = np.asarray(xs)
+        for i, ax in enumerate(axes):
+            ax.plot(np.arange(xs.shape[1]), xs[i], marker=".", ms=3,
+                    lw=1, label=label)
+    for i, ax in enumerate(axes):
+        ax.set_ylabel(names[i])
+        ax.grid(alpha=0.3)
+    axes[0].legend(loc="best", fontsize=8)
+    axes[-1].set_xlabel("step")
+    states_path = f"{out_prefix}_states.png"
+    fig.savefig(states_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+    names_u = ["v [m/s]", "omega [rad/s]"]
+    fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    for label, rec in records.items():
+        us = rec.get("u")
+        if us is None:
+            continue
+        us = np.asarray(us)
+        for i, ax in enumerate(axes):
+            ax.plot(np.arange(us.shape[1]), us[i], marker=".", ms=3,
+                    lw=1, label=label)
+    for i, ax in enumerate(axes):
+        ax.set_ylabel(names_u[i])
+        ax.grid(alpha=0.3)
+    axes[0].legend(loc="best", fontsize=8)
+    axes[-1].set_xlabel("step")
+    inputs_path = f"{out_prefix}_inputs.png"
+    fig.savefig(inputs_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return states_path, inputs_path
+
+
 def animate_open_loop(demo, result, gif_path, fps=5):
     """Open-loop animation (draw.py:211-331): the planned trajectory is
     traversed frame by frame while dynamic obstacles advance by
