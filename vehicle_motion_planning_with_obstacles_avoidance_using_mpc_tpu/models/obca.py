@@ -88,6 +88,16 @@ class OBCASpec:
     dual_reg: float = 1e-6
     coupled_motion: bool = False
     theta_band: float = 0.7853981633974483  # pi/4, src/obca.py:224-225
+    # Impose the OBCA collision block at k = 0 like the reference
+    # (src/obca.py:968 loops k = 0..N). x_0 is pinned by the initial
+    # equality, so that block only *re-certifies* the current pose: it
+    # adds nO*(E+4) duals that are decoupled from the trajectory, and at
+    # poses hugging an obstacle (every step of wall-following) they are
+    # exactly the degenerate contact multipliers that stall convergence.
+    # Default False: identical trajectories, smaller and better-behaved
+    # NLP; the k = 0 pose is instead certified geometrically by the
+    # runtime (it was reached through a dmin-feasible solve).
+    obca_k0: bool = False
 
     def __post_init__(self):
         assert self.variant in (
@@ -99,6 +109,16 @@ class OBCASpec:
     @property
     def free_time(self):
         return self.variant == "free"
+
+    @property
+    def k_lo(self):
+        """First horizon step carrying OBCA duals/constraints."""
+        return 0 if self.obca_k0 else 1
+
+    @property
+    def n_k(self):
+        """Number of horizon steps carrying OBCA duals/constraints."""
+        return self.N + 1 - self.k_lo
 
 
 class OBCAData(NamedTuple):
@@ -177,8 +197,8 @@ def init_vars(spec: OBCASpec, data: OBCAData, x_init=None, warm_duals=True):
     if warm_duals:
         lam, mu = init_duals(spec, data, x)
     else:
-        lam = jnp.zeros((N + 1, spec.n_obs, spec.e_max), dtype)
-        mu = jnp.zeros((N + 1, spec.n_obs, 4), dtype)
+        lam = jnp.zeros((spec.n_k, spec.n_obs, spec.e_max), dtype)
+        mu = jnp.zeros((spec.n_k, spec.n_obs, 4), dtype)
 
     z = {"x": x, "u": u, "lam": lam, "mu": mu}
     if spec.free_time:
@@ -201,21 +221,26 @@ def init_duals(spec: OBCASpec, data: OBCAData, x):
     Args:
       x: (3, N+1) initial state trajectory.
     Returns:
-      (lam (N+1, nO, E), mu (N+1, nO, 4)) respecting all masks.
+      (lam (n_k, nO, E), mu (n_k, nO, 4)) respecting all masks; steps
+      below spec.k_lo carry no duals.
     """
     kappa = 0.9
+    kl = spec.k_lo
+    x = x[:, kl:]
+    A = data.A[kl:]
+    b = data.b[kl:]
     lam_mask = data.edge_mask * data.obs_mask[:, None]    # (nO, E)
-    tx = x[0] + jnp.cos(x[2]) * data.ego_offset           # (N+1,)
+    tx = x[0] + jnp.cos(x[2]) * data.ego_offset           # (n_k,)
     ty = x[1] + jnp.sin(x[2]) * data.ego_offset
-    t = jnp.stack([tx, ty], axis=-1)                      # (N+1, 2)
+    t = jnp.stack([tx, ty], axis=-1)                      # (n_k, 2)
     # signed "violation" of each hyperplane by t: positive = separating
-    At_b = jnp.einsum("kied,kd->kie", data.A, t) - data.b  # (N+1, nO, E)
-    norms = jnp.linalg.norm(data.A, axis=-1)               # (N+1, nO, E)
+    At_b = jnp.einsum("kied,kd->kie", A, t) - b            # (n_k, nO, E)
+    norms = jnp.linalg.norm(A, axis=-1)                    # (n_k, nO, E)
     score = jnp.where(lam_mask[None] > 0, At_b / jnp.maximum(norms, 1e-9), -jnp.inf)
     best = jnp.argmax(score, axis=-1)                      # (N+1, nO)
     onehot = jax.nn.one_hot(best, spec.e_max, dtype=x.dtype)
     lam = onehot * kappa / jnp.maximum(norms, 1e-9) * lam_mask[None]
-    q1 = jnp.einsum("kied,kie->kid", data.A, lam)          # (N+1, nO, 2)
+    q1 = jnp.einsum("kied,kie->kid", A, lam)               # (n_k, nO, 2)
     c = jnp.cos(x[2])[:, None]
     s = jnp.sin(x[2])[:, None]
     p = -(c * q1[..., 0] + s * q1[..., 1])
@@ -242,15 +267,17 @@ def _obca_terms(spec, data, z):
     translation-only restatement of obca_mpc_dyn's symbolic vertex
     trajectories (src/obca.py:1792-1802, 1961-1964).
     """
-    lam = z["lam"]  # (N+1, nO, E)
-    b = data.b
+    lam = z["lam"]  # (n_k, nO, E)
+    kl = spec.k_lo
+    A = data.A[kl:]
+    b = data.b[kl:]
     if spec.coupled_motion:
-        ks = jnp.arange(spec.N + 1, dtype=b.dtype)
+        ks = jnp.arange(kl, spec.N + 1, dtype=b.dtype)
         delta = (ks[:, None, None] * (data.Ts * z["T"])
-                 * data.obs_vel[None])                  # (N+1, nO, 2)
-        b = b + jnp.einsum("kied,kid->kie", data.A, delta)
-    q1 = jnp.einsum("kied,kie->kid", data.A, lam)       # (N+1, nO, 2)
-    blam = jnp.einsum("kie,kie->ki", b, lam)            # (N+1, nO)
+                 * data.obs_vel[None])                  # (n_k, nO, 2)
+        b = b + jnp.einsum("kied,kid->kie", A, delta)
+    q1 = jnp.einsum("kied,kie->kid", A, lam)            # (n_k, nO, 2)
+    blam = jnp.einsum("kie,kie->ki", b, lam)            # (n_k, nO)
     return q1, blam
 
 
@@ -314,9 +341,9 @@ def eq_constraints(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
 
     # OBCA stationarity, masked as described in the module docstring
     q1, _ = _obca_terms(spec, data, z)
-    mu = z["mu"]  # (N+1, nO, 4)
-    cth = jnp.cos(x[2])[:, None]
-    sth = jnp.sin(x[2])[:, None]
+    mu = z["mu"]  # (n_k, nO, 4)
+    cth = jnp.cos(x[2, spec.k_lo:])[:, None]
+    sth = jnp.sin(x[2, spec.k_lo:])[:, None]
     m = data.obs_mask[None, :]
     g1 = (mu[:, :, 0] - mu[:, :, 2]) + m * (cth * q1[:, :, 0] + sth * q1[:, :, 1])
     g2 = (mu[:, :, 1] - mu[:, :, 3]) + m * (-sth * q1[:, :, 0] + cth * q1[:, :, 1])
@@ -346,7 +373,7 @@ def ineq_identity_layout(spec: OBCASpec):
     off = 0
     for key, shape in (
         [("T", ())] if spec.free_time else []
-    ) + [("lam", (N + 1, nO, E)), ("mu", (N + 1, nO, 4)),
+    ) + [("lam", (spec.n_k, nO, E)), ("mu", (spec.n_k, nO, 4)),
          ("u", (2, N)), ("x", (3, N + 1))]:
         cnt = int(np.prod(shape)) if shape else 1
         sizes[key] = (off, shape)
@@ -359,8 +386,8 @@ def ineq_identity_layout(spec: OBCASpec):
         return base + int(np.ravel_multi_index(coords, shape))
 
     rows = []
-    rows.extend(range(sizes["lam"][0], sizes["lam"][0] + (N + 1) * nO * E))
-    rows.extend(range(sizes["mu"][0], sizes["mu"][0] + (N + 1) * nO * 4))
+    rows.extend(range(sizes["lam"][0], sizes["lam"][0] + spec.n_k * nO * E))
+    rows.extend(range(sizes["mu"][0], sizes["mu"][0] + spec.n_k * nO * 4))
     for i in range(2):  # x/y lower then upper, per coordinate
         lo = [idx_of("x", i, t) for t in range(N + 1)]
         rows.extend(lo)
@@ -381,9 +408,10 @@ def ineq_identity_sgn_off(spec: OBCASpec, data: OBCAData):
     N = spec.N
     dtype = data.x0.dtype
     lam_mask, obs_mask = _dual_masks(spec, data)
-    lam_m = jnp.broadcast_to(lam_mask[None], (N + 1,) + lam_mask.shape).reshape(-1)
+    lam_m = jnp.broadcast_to(
+        lam_mask[None], (spec.n_k,) + lam_mask.shape).reshape(-1)
     mu_m = jnp.broadcast_to(
-        obs_mask[None, :, None], (N + 1, spec.n_obs, 4)
+        obs_mask[None, :, None], (spec.n_k, spec.n_obs, 4)
     ).reshape(-1)
     one = jnp.ones((), dtype)
 
@@ -439,8 +467,9 @@ def ineq_constraints_dense(spec: OBCASpec, data: OBCAData, z) -> jnp.ndarray:
     parts.append(norm_row.reshape(-1))
 
     gmu = jnp.einsum("g,kig->ki", data.ego_g, z["mu"])
-    tx = x[0] + jnp.cos(x[2]) * data.ego_offset
-    ty = x[1] + jnp.sin(x[2]) * data.ego_offset
+    kl = spec.k_lo
+    tx = x[0, kl:] + jnp.cos(x[2, kl:]) * data.ego_offset
+    ty = x[1, kl:] + jnp.sin(x[2, kl:]) * data.ego_offset
     dist = -gmu + tx[:, None] * q1[:, :, 0] + ty[:, None] * q1[:, :, 1] - blam
     dist_row = jnp.where(m > 0, dist - data.dmin, one)
     parts.append(dist_row.reshape(-1))
@@ -464,7 +493,7 @@ def signed_clearance(spec: OBCASpec, data: OBCAData, z):
     """The per-(k, i) OBCA distance value (>= dmin when separated), for
     diagnostics / property tests."""
     q1, blam = _obca_terms(spec, data, z)
-    x = z["x"]
+    x = z["x"][:, spec.k_lo:]
     gmu = jnp.einsum("g,kig->ki", data.ego_g, z["mu"])
     tx = x[0] + jnp.cos(x[2]) * data.ego_offset
     ty = x[1] + jnp.sin(x[2]) * data.ego_offset
