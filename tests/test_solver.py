@@ -142,3 +142,20 @@ def test_infeasible_problem_reports_infeasible():
     res = solve(data, init_vars(spec, data))
     assert not bool(res.feas)
     assert np.isfinite(float(res.viol))
+
+
+def test_arrow_kkt_matches_dense_al_chol(demo1_window_problem):
+    """The block-arrow factorization must solve the exact same KKT
+    systems as the dense al_chol path: same iterates, same solution.
+    Any term coupling two distinct (k, i) dual blocks would break this
+    (the arrow gather silently drops out-of-pattern entries)."""
+    spec, data = demo1_window_problem
+    s_arrow = make_obca_solver(spec, IPMOptions(kkt="arrow"))
+    s_dense = make_obca_solver(spec, IPMOptions(kkt="al_chol"))
+    ra = jax.jit(s_arrow)(data)
+    rd = jax.jit(s_dense)(data)
+    assert bool(ra.feas) and bool(rd.feas)
+    np.testing.assert_allclose(
+        np.asarray(ra.z["x"]), np.asarray(rd.z["x"]), rtol=1e-6, atol=1e-6
+    )
+    assert int(ra.iters) == int(rd.iters)

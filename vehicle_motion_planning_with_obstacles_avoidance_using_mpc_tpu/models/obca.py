@@ -401,6 +401,37 @@ def ineq_identity_layout(spec: OBCASpec):
     return np.asarray(rows, dtype=np.int64)
 
 
+def arrow_layout(spec: OBCASpec):
+    """Flat-z indices of the per-(k, obstacle) dual blocks — the KKT
+    system's block-arrow structure.
+
+    Every objective/constraint term couples at most ONE dual block
+    ``{lam[k, i, :], mu[k, i, :]}`` with the trajectory variables
+    (x, u, T): the OBCA stationarity rows g1/g2 touch (theta_k, lam_ki,
+    mu_ki), the norm row touches lam_ki, the distance row
+    (x_k, lam_ki, mu_ki[, T]), and the pin/prox penalties are diagonal.
+    No term ever couples two distinct (k, i) blocks, so the condensed
+    Newton matrix is block-arrow: eliminating the K = n_k * nO dual
+    blocks (size E+4 each) by batched tiny Cholesky factorizations
+    leaves a dense system over only the 3(N+1)+2N(+1) trajectory
+    variables — the structured factorization SURVEY.md section 7 step 4
+    calls for, replacing the O(n^3) dense KKT solve.
+
+    Returns an int numpy array (K, E+4) of indices into
+    ``ravel_pytree(z)`` (sorted-key order 'T', 'lam', 'mu', 'u', 'x').
+    """
+    import numpy as np
+
+    nO, E = spec.n_obs, spec.e_max
+    base_lam = 1 if spec.free_time else 0
+    base_mu = base_lam + spec.n_k * nO * E
+    K = spec.n_k * nO
+    blk = np.arange(K)
+    lam_idx = base_lam + blk[:, None] * E + np.arange(E)[None, :]
+    mu_idx = base_mu + blk[:, None] * 4 + np.arange(4)[None, :]
+    return np.concatenate([lam_idx, mu_idx], axis=1).astype(np.int64)
+
+
 def ineq_identity_sgn_off(spec: OBCASpec, data: OBCAData):
     """(sgn, off) for the identity inequality rows, same order as
     :func:`ineq_identity_layout`. Masked dual rows get sgn = 0, off = 1

@@ -92,7 +92,14 @@ class IPMOptions:
     #   baseline; inertia surrogate is the directional-curvature test.
     # 'chol': Cholesky+Schur demanding W + dI itself SPD — too strong
     #   for OBCA (kept for experiments).
-    kkt: str = "al_chol"
+    # 'arrow' (default when the problem declares its block structure):
+    #   the al_chol augmented-Lagrangian kernel, but factorized by its
+    #   block-arrow structure — batched tiny Cholesky of the per-(k,obs)
+    #   dual blocks, then a dense Schur system over only the trajectory
+    #   variables. Exact same linear system and SPD/NaN rejection
+    #   semantics as 'al_chol' at a small fraction of the flops (the
+    #   dense n^3 Cholesky was ~95% of solve time on TPU).
+    kkt: str = "arrow"
     delta_d_al: float = 1e-2     # dual regularization of the AL kernel
     # MXU passes for f32 matmuls: 'highest' = full f32 emulation (6
     # bf16 passes), 'high' = bf16x3. Newton-KKT tolerates 'high' thanks
@@ -122,13 +129,21 @@ def _row_scales(J, g_max):
 
 def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                  z_example, options: IPMOptions = IPMOptions(),
-                 z_scale=None, ineq_id=None):
+                 z_scale=None, ineq_id=None, arrow=None):
     """Compile-time construction of a solver for one problem family.
 
     f_fn/cE_fn/cI_fn: (z_pytree, params) -> scalar / (mE,) / (mI,).
     ``z_example`` fixes the variable pytree structure; ``z_scale`` is an
     optional pytree of typical magnitudes (same structure) so that internal
     regularization acts on O(1) quantities.
+
+    ``arrow`` optionally declares the KKT system's block-arrow structure:
+    an int array (K, bq) of flat-z indices forming K mutually-uncoupled
+    variable blocks (coupled to the rest only through the remaining
+    "spine" variables). With it, kkt='arrow' factorizes the augmented-
+    Lagrangian kernel by block elimination: K batched (bq x bq)
+    Cholesky factorizations plus one dense Schur Cholesky over the
+    spine — instead of one dense n x n factorization.
 
     ``ineq_id`` optionally declares the *identity* (bound) inequality rows
     so the Newton system is built with gathers and a diagonal scatter-add
@@ -161,6 +176,17 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
         id_idx, sgn_off_fn, cI_dense_fn = ineq_id
         id_idx = np.asarray(id_idx, dtype=np.int64)
     m_id = id_idx.shape[0]
+
+    kkt_mode = opt.kkt
+    if arrow is not None and np.asarray(arrow).size > 0:
+        q_idx_np = np.asarray(arrow, dtype=np.int64)       # (K, bq)
+        _pmask = np.ones(n, dtype=bool)
+        _pmask[q_idx_np.reshape(-1)] = False
+        p_idx_np = np.nonzero(_pmask)[0]                    # (np_,)
+    else:
+        q_idx_np = p_idx_np = None
+        if kkt_mode == "arrow":
+            kkt_mode = "al_chol"  # no structure declared — dense fallback
 
     def f_flat(zv, params):
         return f_fn(unravel(zv * d_scale), params)
@@ -416,6 +442,57 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
                 return sol, good
 
+            def kkt_solve_arrow(delta):
+                # al_chol's augmented-Lagrangian kernel
+                #   G = W + delta*I + J^T J / dd
+                # factorized by the declared block-arrow structure: the K
+                # dual blocks (indices q_idx) are mutually uncoupled, so
+                #   G = [[Gpp, Gpq], [Gqp, blockdiag(Gqq_k)]]
+                # and eliminating them leaves the dense spine Schur
+                # system S = Gpp - sum_k Gpq_k Gqq_k^{-1} Gqp_k. SPD of
+                # G <=> SPD of every Gqq_k and of S, so the NaN-on-
+                # failure ladder-rejection semantics are exactly those
+                # of the dense Cholesky.
+                G = W + delta * eye_n + JtJ_dd
+                Gqq = G[q_idx_np[:, :, None], q_idx_np[:, None, :]]
+                Gpq = G[p_idx_np[:, None, None], q_idx_np[None, :, :]]
+                Gpp = G[p_idx_np[:, None], p_idx_np[None, :]]
+                Lq = jnp.linalg.cholesky(Gqq)               # (K, bq, bq)
+                Gqp = jnp.transpose(Gpq, (1, 2, 0))          # (K, bq, np_)
+                Yq = jax.scipy.linalg.cho_solve((Lq, True), Gqp)
+                S = Gpp - jnp.einsum("pkb,kbq->pq", Gpq, Yq)
+                Ls = jnp.linalg.cholesky(S)
+
+                def gsolve(b):
+                    bq = b[q_idx_np]                         # (K, bq)
+                    wq = jax.scipy.linalg.cho_solve(
+                        (Lq, True), bq[..., None])[..., 0]
+                    rp = b[p_idx_np] - jnp.einsum("pkb,kb->p", Gpq, wq)
+                    dp = jax.scipy.linalg.cho_solve(
+                        (Ls, True), rp[..., None])[..., 0]
+                    dq = wq - jnp.einsum("kbp,p->kb", Yq, dp)
+                    return (jnp.zeros((n,), dtype)
+                            .at[p_idx_np].set(dp)
+                            .at[q_idx_np.reshape(-1)].set(dq.reshape(-1)))
+
+                def al_solve(r1, r2, jt_r2_dd):
+                    dz = gsolve(r1 + jt_r2_dd)
+                    v = (JE @ dz - r2) / dd
+                    return dz, v
+
+                dz, v = al_solve(rhs1, rhs2, Jt_rhs2_dd)
+                Wd = W + delta * eye_n
+                for _ in range(2):
+                    res1 = Wd @ dz + JE.T @ v - rhs1
+                    res2 = JE @ dz - opt.delta_d * v - rhs2
+                    dzc, vc = al_solve(res1, res2, (JE.T @ res2) / dd)
+                    dz = dz - dzc
+                    v = v - vc
+                sol = jnp.concatenate([dz, v])
+                curv = dz @ (W @ dz) + delta * (dz @ dz)
+                good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
+                return sol, good
+
             def kkt_solve_qr(delta):
                 # Householder-QR on the full saddle system: handles
                 # indefinite W (inertia surrogate = directional-curvature
@@ -438,7 +515,8 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 return sol, good
 
             kkt_solve = {"chol": kkt_solve_chol, "qr": kkt_solve_qr,
-                         "al_chol": kkt_solve_al}[opt.kkt]
+                         "al_chol": kkt_solve_al,
+                         "arrow": kkt_solve_arrow}[kkt_mode]
             sols, goods = jax.vmap(kkt_solve)(ladder)
             first = jnp.argmax(goods)  # first True, or 0 if none
             any_good = jnp.any(goods)
