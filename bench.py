@@ -119,8 +119,10 @@ def main():
     # diagnostics in host numpy — every jnp op on device results would be
     # a fresh ~30 s compile over the remote-TPU tunnel
     feas_frac = float(np.mean(np.asarray(res.feas)))
-    log(f"feasible fraction: {feas_frac:.3f}  "
-        f"median iters: {np.median(np.asarray(res.iters)):.0f}")
+    it = np.asarray(res.iters)
+    log(f"feasible fraction: {feas_frac:.3f}  median iters: "
+        f"{np.median(it):.0f}  p90: {np.percentile(it, 90):.0f}  "
+        f"max: {it.max()}  (batch pays max: vmapped while_loop)")
 
     times = []
     for i in range(reps):

@@ -71,8 +71,12 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
     if p.N_free != p.N_fix:
         raise NotImplementedError("scanned loop requires N_fix == N_free")
     N = p.N_free
+    # Default options MUST match ClosedLoopRunner's (closed_loop.py:109):
+    # with looser tol/feas_tol + max_iters=60 the fix-time solve on demo1's
+    # first near-contact step stalls below feasibility and the rollout
+    # aborted at k=8 while the host driver completed (round-1 regression).
     opt = options or IPMOptions(
-        max_iters=60, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3
+        max_iters=100, acceptable_tol=5e-3, feas_tol=1e-4
     )
 
     spec_free = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max, variant="free")

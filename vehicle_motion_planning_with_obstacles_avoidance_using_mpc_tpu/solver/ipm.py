@@ -57,6 +57,12 @@ class IPMOptions:
     max_iters: int = 100
     tol: float = 1e-6            # scaled KKT error target (IPOPT tol)
     acceptable_tol: float = 1e-4  # Ipopt-style acceptable KKT level
+    # Stop after this many consecutive iterations at the acceptable level
+    # (IPOPT's acceptable_iter). Essential for batched solves: a vmapped
+    # while_loop runs until EVERY instance is done, so one instance that
+    # plateaus between acceptable_tol and tol would otherwise burn the
+    # whole batch's remaining iteration budget.
+    acceptable_iter: int = 5
     feas_tol: float = 1e-6       # unscaled constraint violation for `feas`
     mu0: float = 0.1             # initial barrier parameter
     kappa_mu: float = 0.2        # linear barrier reduction factor
@@ -315,6 +321,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             delta: jnp.ndarray   # last successful regularization
             it: jnp.ndarray
             done: jnp.ndarray
+            acc_it: jnp.ndarray  # consecutive iterations at acceptable level
             # watchdog: best iterate seen so far (by mu=0 KKT error) — the
             # dual chatter near degenerate contacts must never lose it
             best_zv: jnp.ndarray
@@ -351,7 +358,9 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             best_w = jnp.where(better, w, st.best_w)
             best_err = jnp.where(better, err_0, st.best_err)
 
-            done = err_0 <= opt.tol
+            acc_it = jnp.where(err_0 <= opt.acceptable_tol, st.acc_it + 1,
+                               jnp.asarray(0, jnp.int32))
+            done = (err_0 <= opt.tol) | (acc_it >= opt.acceptable_iter)
 
             # monotone Fiacco-McCormick barrier update at iteration start
             shrink = err_mu <= opt.kappa_eps * st.mu_b
@@ -595,12 +604,12 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 )
 
             return State(zv_n, s_n, y_n, w_n, mu_b, delta_n, st.it + 1, done,
-                         best_zv, best_s, best_y, best_w, best_err)
+                         acc_it, best_zv, best_s, best_y, best_w, best_err)
 
         st0 = State(
             z0, s0, y0, w0, mu_b0,
             jnp.asarray(opt.delta0, dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
+            jnp.asarray(False), jnp.asarray(0, jnp.int32),
             z0, s0, y0, w0, jnp.asarray(jnp.inf, dtype),
         )
         st = jax.lax.while_loop(cond, body, st0)
