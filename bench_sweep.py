@@ -1,0 +1,222 @@
+"""Pod-scale scenario sweep: batched A* front-end + scanned closed-loop
+rollouts, sharded over a device mesh, with checkpoint/resume.
+
+This is the BASELINE.json configs #4/#5 product: N randomized corridor
+worlds (scenarios/random_gen.py) are planned end-to-end — batched TPU
+wavefront A* (ops/astar.py) produces each world's reference path, the
+fully-jitted lax.scan closed loop (runtime/scan_loop.py) replans
+free/fix-time OBCA NLPs every step — vmapped over scenarios and sharded
+over a jax.sharding Mesh. Chunks checkpoint through
+utils.checkpoint.SweepCheckpointer and resume exactly.
+
+The reference has no analogue: its "sweep" is editing main.py per demo
+(src/main.py:11-27) and each closed-loop step is one serial IPOPT call
+(~0.1-1 s, src/closed_loop.py:380-398).
+
+Prints ONE JSON line. Env knobs:
+  SWEEP_N       total scenarios            (default 64)
+  SWEEP_CHUNK   scenarios per device call  (default 32)
+  SWEEP_STEPS   closed-loop steps          (default 5)
+  SWEEP_DEVS    comma list of device counts for the scaling table
+                (default "1,2" — this host has 2 physical cores; virtual
+                devices beyond the core count cannot speed up wall time)
+  SWEEP_DIR     checkpoint directory       (default /tmp/obca_sweep)
+  SWEEP_RESUME  "1" to resume from the latest checkpoint
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    accel = None
+    if "axon" in plats:
+        jax.config.update("jax_platforms", "cpu,axon")
+        accel = "axon"
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.ops import (
+        astar as tpu_astar,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.parallel import (
+        make_mesh,
+        shard_along,
+        sharded_rollout,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.scan_loop import (
+        make_scan_rollout,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.demos import (
+        default_params_for,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.random_gen import (
+        random_scenarios,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.utils.checkpoint import (
+        SweepCheckpointer,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.utils.metrics import (
+        MetricsLogger,
+    )
+
+    total = int(os.environ.get("SWEEP_N", "64"))
+    chunk = int(os.environ.get("SWEEP_CHUNK", "32"))
+    steps = int(os.environ.get("SWEEP_STEPS", "5"))
+    devs = [int(d) for d in os.environ.get("SWEEP_DEVS", "1,2").split(",")]
+    ckpt_dir = os.environ.get("SWEEP_DIR", "/tmp/obca_sweep")
+    resume = os.environ.get("SWEEP_RESUME", "0") == "1"
+
+    if accel:
+        devs = [1]  # one real TPU chip behind the tunnel
+    max_dev = max(devs)
+    if jax.device_count(accel) < max_dev:
+        raise SystemExit(f"need {max_dev} devices")
+    assert chunk % max_dev == 0 and total % chunk == 0
+
+    if not resume and os.path.isdir(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
+
+    dtype = jnp.float32
+    p = default_params_for("demo1")
+    metrics = MetricsLogger()
+
+    # ---- scenario generation (host-side data construction)
+    t0 = time.time()
+    scn_all, shape = random_scenarios(seed=0, batch=total)
+    log(f"built {total} random scenarios in {time.time()-t0:.1f}s "
+        f"(shape: {shape})")
+
+    # ---- batched A* reference paths on the accelerator (the TPU
+    # wavefront front-end, ops/astar.py — one vmapped call for the
+    # whole sweep; reference solves these serially on the host,
+    # src/a_star.py:39-102)
+    MAXL = 64
+    start_yx = np.tile(
+        np.asarray([[int(scn_all.start[0][1]), int(scn_all.start[0][0])]]),
+        (total, 1))
+    goal_yx = np.tile(
+        np.asarray([[int(scn_all.goal[0][1]), int(scn_all.goal[0][0])]]),
+        (total, 1))
+
+    def plan_one(grid, s_yx, g_yx):
+        traj_yx, valid = tpu_astar.plan_grid_path(grid, s_yx, g_yx, max_len=MAXL)
+        xy = traj_yx[:, ::-1].astype(dtype)  # (L, 2) [x, y]
+        ref = tpu_astar.path_to_reference(xy, valid)  # (L, 3)
+        return ref.T, jnp.sum(valid.astype(jnp.int32))
+
+    with metrics.timer("astar_batch_ms"):
+        t0 = time.time()
+        refs, ref_lens = jax.jit(jax.vmap(plan_one))(
+            jnp.asarray(np.asarray(scn_all.grid), dtype),
+            jnp.asarray(start_yx), jnp.asarray(goal_yx),
+        )
+        refs = np.asarray(refs)
+        ref_lens = np.asarray(ref_lens)
+    log(f"batched A*: {total} paths in {time.time()-t0:.1f}s "
+        f"(len p50 {np.median(ref_lens):.0f})")
+    assert (ref_lens > 1).all(), "unreachable scenario generated"
+
+    roll = make_scan_rollout(shape, p, max_steps=steps, dtype=dtype)
+
+    # ---- scaling table: same chunk workload at each device count
+    scaling = {}
+    chunk_scn = jax.tree.map(lambda a: np.asarray(a)[:chunk], scn_all)
+    for nd in devs:
+        mesh = make_mesh(nd)
+        sroll = sharded_rollout(roll, mesh)
+        args = shard_along(
+            (chunk_scn, refs[:chunk], ref_lens[:chunk]), mesh)
+        final, traj = sroll(*args)  # compile + warmup
+        jax.block_until_ready(final.x0)
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            final, traj = sroll(*args)
+            jax.block_until_ready(final.x0)
+            ts.append(time.time() - t0)
+        t = min(ts)
+        replans = int(np.asarray(traj["active"]).sum())
+        scaling[nd] = replans / t
+        log(f"devices={nd}: {t:.2f}s for {replans} replans "
+            f"-> {scaling[nd]:.1f} replans/s")
+    eff = {}
+    for nd in devs:
+        if nd > 1:
+            eff[nd] = scaling[nd] / (nd * scaling[1])
+
+    # ---- the sweep proper: all chunks on the full mesh, checkpointed
+    mesh = make_mesh(max_dev)
+    sroll = sharded_rollout(roll, mesh)
+    ckpt = SweepCheckpointer(ckpt_dir, keep=2)
+    start_chunk = 0
+    agg = {"replans": 0, "reached": 0, "failed": 0, "scenarios": 0,
+           "wall_s": 0.0}
+    if resume:
+        step_id, tree = ckpt.latest()
+        if step_id is not None:
+            start_chunk = int(tree["next_chunk"])
+            agg = {k: type(v)(tree["agg"][k]) for k, v in agg.items()}
+            log(f"resumed at chunk {start_chunk}: {agg}")
+
+    n_chunks = total // chunk
+    for ci in range(start_chunk, n_chunks):
+        sl = slice(ci * chunk, (ci + 1) * chunk)
+        cscn = jax.tree.map(lambda a: np.asarray(a)[sl], scn_all)
+        args = shard_along((cscn, refs[sl], ref_lens[sl]), mesh)
+        with metrics.timer("chunk_ms"):
+            t0 = time.time()
+            final, traj = sroll(*args)
+            jax.block_until_ready(final.x0)
+            dt = time.time() - t0
+        agg["replans"] += int(np.asarray(traj["active"]).sum())
+        agg["reached"] += int(np.asarray(final.reached).sum())
+        agg["failed"] += int(np.asarray(final.failed).sum())
+        agg["scenarios"] += chunk
+        agg["wall_s"] += dt
+        ckpt.save(ci + 1, {
+            "next_chunk": np.asarray(ci + 1),
+            "agg": {k: np.asarray(v) for k, v in agg.items()},
+            "final_x0": np.asarray(final.x0),
+            "final_reached": np.asarray(final.reached),
+            "final_failed": np.asarray(final.failed),
+        })
+        log(f"chunk {ci+1}/{n_chunks}: {dt:.2f}s  agg {agg}")
+
+    replans_per_s = agg["replans"] / max(agg["wall_s"], 1e-9)
+    # each scan step solves 2 free + 5 fix-terminal + 5 no-terminal NLPs
+    # (runtime/scan_loop.py multistart widths)
+    nlp_per_s = replans_per_s * 12
+    out = {
+        "metric": "sweep_replans_per_s",
+        "value": round(replans_per_s, 2),
+        "unit": "replans/s",
+        # reference closed-loop replan ~0.1-1 s (src/closed_loop.py:380-398
+        # structure); use 1 replan/s as its optimistic rate
+        "vs_baseline": round(replans_per_s, 2),
+        "nlp_solves_per_s": round(nlp_per_s, 2),
+        "scenarios": agg["scenarios"],
+        "reached_frac": round(agg["reached"] / max(agg["scenarios"], 1), 4),
+        "failed_frac": round(agg["failed"] / max(agg["scenarios"], 1), 4),
+        "scaling_replans_per_s": {str(k): round(v, 2)
+                                  for k, v in scaling.items()},
+        "scaling_efficiency": {str(k): round(v, 3) for k, v in eff.items()},
+        "physical_cores": os.cpu_count(),
+        "chunk_ms": metrics.quantiles("chunk_ms"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""End-to-end coverage of every named demo (the reference's de-facto
+integration tests, src/demo_setting.py:82-341).
+
+Three layers:
+  * golden property checks (fast): the committed closed-loop trajectories
+    in ``goldens/`` must respect input bounds, map bounds, and never
+    penetrate a static obstacle — the physics certificate the reference
+    only ever eyeballed in its GIFs;
+  * host-driver regression (slow): a fresh prefix run must reproduce the
+    golden trajectory (deterministic CPU x64);
+  * scanned-rollout agreement (slow): the batched TPU product must
+    complete each demo the host driver completes and make comparable
+    progress toward the goal (src/closed_loop.py:323-443 semantics).
+
+Goldens are produced by ``scripts/run_demos.py``. Reference-published
+demo outcomes exist only for demo1/demo9/demo11 (images/) and the tuned
+demos 8/10 (src/simulation.py:66-99); demos 2/4/6 abort infeasible
+mid-run under the host driver today and are tracked as known limits.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.demos import (
+    demo_names,
+    get_demo,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
+
+# Demos whose host closed loop currently aborts infeasible mid-run (the
+# reference never published outcomes for these configs). Tracked so a
+# robustness regression on the others fails loudly; shrink this set as
+# fixes land.
+KNOWN_ABORTS = {"demo2", "demo4", "demo6"}
+
+ALL_DEMOS = demo_names()
+
+
+def _golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no golden for {name} (run scripts/run_demos.py)")
+    return np.load(path)
+
+
+def _ego_corners(x, ego=(1.7, 0.75, 1.7, 0.75)):
+    """(…, 5, 2) ego polygon corners + center at pose x (…, 3)."""
+    cx, cy, th = x[..., 0], x[..., 1], x[..., 2]
+    off = (ego[0] + ego[2]) / 2 - ego[2]  # = 0 for the symmetric ego
+    hl = (ego[0] + ego[2]) / 2
+    hw = ego[1]
+    c, s = np.cos(th), np.sin(th)
+    mx = cx + off * c
+    my = cy + off * s
+    pts = []
+    for dx, dy in ((hl, hw), (hl, -hw), (-hl, hw), (-hl, -hw), (0.0, 0.0)):
+        pts.append(np.stack([mx + dx * c - dy * s, my + dx * s + dy * c],
+                            axis=-1))
+    return np.stack(pts, axis=-2)
+
+
+@pytest.mark.parametrize("name", ALL_DEMOS)
+def test_golden_trajectory_properties(name):
+    g = _golden(name)
+    demo = get_demo(name)
+    p = demo.params
+    x, u = g["x"], g["u"]
+
+    assert len(x) > 3, f"{name}: golden has too few steps"
+
+    # input bounds (src/closed_loop.py:41-42)
+    assert np.all(np.abs(u[:, 0]) <= p.v_max + 1e-6)
+    assert np.all(np.abs(u[:, 1]) <= p.w_max + 1e-6)
+
+    # map bounds (src/obca.py:916-917)
+    assert np.all(x[:, 0] >= demo.x_lo[0] - 1e-6)
+    assert np.all(x[:, 0] <= demo.x_hi[0] + 1e-6)
+    assert np.all(x[:, 1] >= demo.x_lo[1] - 1e-6)
+    assert np.all(x[:, 1] <= demo.x_hi[1] + 1e-6)
+
+    # no ego corner inside any closed static obstacle (independent
+    # geometric re-check of the OBCA separation certificate)
+    corners = _ego_corners(x, p.ego).reshape(-1, 2)
+    for poly in demo.static_lobs:
+        v = np.asarray(poly)
+        if len(v) < 4:  # open wall segments cannot contain a point
+            continue
+        inside = np.ones(len(corners), bool)
+        for a, b in zip(v[:-1], v[1:]):
+            e = b - a
+            # clockwise winding: interior is right of each edge
+            cross = (corners[:, 0] - a[0]) * e[1] - (corners[:, 1] - a[1]) * e[0]
+            inside &= cross >= 2e-2  # tolerance: acceptable-level solves
+        assert not inside.any(), f"{name}: ego corner inside obstacle {poly}"
+
+    # abort status is tracked: improvements must update KNOWN_ABORTS
+    aborted = bool(g["aborted"])
+    if name in KNOWN_ABORTS:
+        assert aborted, (
+            f"{name} now completes - remove it from KNOWN_ABORTS"
+        )
+    else:
+        assert not aborted, f"{name}: golden run aborted infeasible"
+        # meaningful progress toward the goal within the 30-step cap
+        goal = np.asarray(demo.goal[:2])
+        d0 = np.linalg.norm(np.asarray(demo.start[:2]) - goal)
+        d_end = np.linalg.norm(x[-1, :2] - goal)
+        assert d_end < 0.75 * d0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ALL_DEMOS)
+def test_host_prefix_matches_golden(name):
+    """A fresh host run must reproduce the committed golden prefix —
+    catches any semantic drift in solver/runtime defaults."""
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.closed_loop import (
+        run_closed_loop,
+    )
+
+    g = _golden(name)
+    res = run_closed_loop(name, max_steps=3)
+    xh = res.x_history
+    n = min(len(xh), 3, len(g["x"]))
+    np.testing.assert_allclose(xh[:n], g["x"][:n], atol=1e-6,
+                               err_msg=f"{name} drifted from golden")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [n for n in ALL_DEMOS
+                                  if n not in KNOWN_ABORTS])
+def test_scan_rollout_completes_demo(name):
+    """The batched lax.scan product must complete every demo the host
+    driver completes, without aborting, making comparable progress."""
+    import jax
+    import jax.numpy as jnp
+
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime import (
+        astar_host,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.scan_loop import (
+        make_scan_rollout,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.build import (
+        build_scenario,
+    )
+
+    g = _golden(name)
+    demo = get_demo(name)
+    dtype = jnp.float64
+    scn, shape = build_scenario(demo, dtype=dtype)
+    ref = astar_host.reference_path_for(
+        np.asarray(scn.grid), demo.start, demo.goal
+    )
+    roll = make_scan_rollout(shape, demo.params, max_steps=30, dtype=dtype)
+    final, traj = jax.jit(roll)(scn, jnp.asarray(ref, dtype),
+                                jnp.asarray(ref.shape[1]))
+
+    assert not bool(final.failed), f"{name}: scan rollout aborted"
+    goal = np.asarray(demo.goal[:2])
+    d_scan = np.linalg.norm(np.asarray(final.x0)[:2] - goal)
+    d_host = np.linalg.norm(g["x"][-1, :2] - goal)
+    # within 20% of the host driver's end-state progress (f64 scan vs
+    # host; mode-switch timing may differ by a step)
+    d0 = np.linalg.norm(np.asarray(demo.start[:2]) - goal)
+    assert d_scan <= d_host + 0.2 * d0, (
+        f"{name}: scan end {d_scan:.2f} vs host {d_host:.2f} (d0 {d0:.2f})"
+    )

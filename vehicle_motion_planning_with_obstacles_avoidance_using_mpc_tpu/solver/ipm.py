@@ -61,9 +61,19 @@ class IPMOptions:
     # (IPOPT's acceptable_iter). Essential for batched solves: a vmapped
     # while_loop runs until EVERY instance is done, so one instance that
     # plateaus between acceptable_tol and tol would otherwise burn the
-    # whole batch's remaining iteration budget.
+    # whole batch's remaining iteration budget. An iteration only counts
+    # as acceptable when the *unscaled* violation is also below
+    # acceptable_viol_tol, so the early stop can never strand an iterate
+    # that is still materially infeasible.
     acceptable_iter: int = 5
     feas_tol: float = 1e-6       # unscaled constraint violation for `feas`
+    # Unscaled violation admitted at the acceptable level — IPOPT's
+    # acceptable_constr_viol_tol (default 1e-2). The reference's solves
+    # return feas=True whenever IPOPT stops at "Solved To Acceptable
+    # Level" (src/obca.py:1052-1056 try/except), which admits exactly
+    # this violation; near-contact fix-time replans routinely polish to
+    # ~1e-4..1e-3 violation and are physically fine (dmin = 0.05).
+    acceptable_viol_tol: float = 1e-2
     mu0: float = 0.1             # initial barrier parameter
     kappa_mu: float = 0.2        # linear barrier reduction factor
     theta_mu: float = 1.5        # superlinear barrier reduction exponent
@@ -329,6 +339,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             best_y: jnp.ndarray
             best_w: jnp.ndarray
             best_err: jnp.ndarray
+            best_viol: jnp.ndarray  # unscaled violation of the best iterate
 
         def cond(st: State):
             return jnp.logical_and(st.it < opt.max_iters, ~st.done)
@@ -350,16 +361,35 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                                    jnp.asarray(0.0, dtype))
             err_mu = kkt_error_from(r_d, cE, cI, s, y, w, st.mu_b)
 
-            # watchdog: record the best iterate by mu=0 error
-            better = err_0 < st.best_err
+            # unscaled violation of this iterate (identity inequality rows
+            # are already in natural units; scaled rows unscale by their
+            # row factors) — the feasibility axis of the acceptance tests
+            viol_u = jnp.maximum(
+                jnp.max(jnp.abs(cE) / jnp.maximum(scE, 1e-12), initial=0.0),
+                jnp.maximum(
+                    jnp.max(-cI[:m_id], initial=0.0),
+                    jnp.max(-cI[m_id:] / jnp.maximum(scD, 1e-12), initial=0.0),
+                ),
+            )
+            ok_u = viol_u <= opt.acceptable_viol_tol
+
+            # watchdog: record the best iterate — prefer acceptable-level
+            # feasibility, then lowest mu=0 error (an err-only key can
+            # strand the solve on a low-KKT but materially infeasible
+            # iterate at degenerate contacts)
+            best_ok = st.best_viol <= opt.acceptable_viol_tol
+            better = (ok_u & ~best_ok) | (
+                (ok_u == best_ok) & (err_0 < st.best_err)
+            )
             best_zv = jnp.where(better, zv, st.best_zv)
             best_s = jnp.where(better, s, st.best_s)
             best_y = jnp.where(better, y, st.best_y)
             best_w = jnp.where(better, w, st.best_w)
             best_err = jnp.where(better, err_0, st.best_err)
+            best_viol = jnp.where(better, viol_u, st.best_viol)
 
-            acc_it = jnp.where(err_0 <= opt.acceptable_tol, st.acc_it + 1,
-                               jnp.asarray(0, jnp.int32))
+            acc_it = jnp.where((err_0 <= opt.acceptable_tol) & ok_u,
+                               st.acc_it + 1, jnp.asarray(0, jnp.int32))
             done = (err_0 <= opt.tol) | (acc_it >= opt.acceptable_iter)
 
             # monotone Fiacco-McCormick barrier update at iteration start
@@ -604,13 +634,15 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 )
 
             return State(zv_n, s_n, y_n, w_n, mu_b, delta_n, st.it + 1, done,
-                         acc_it, best_zv, best_s, best_y, best_w, best_err)
+                         acc_it, best_zv, best_s, best_y, best_w, best_err,
+                         best_viol)
 
         st0 = State(
             z0, s0, y0, w0, mu_b0,
             jnp.asarray(opt.delta0, dtype), jnp.asarray(0, jnp.int32),
             jnp.asarray(False), jnp.asarray(0, jnp.int32),
             z0, s0, y0, w0, jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(jnp.inf, dtype),
         )
         st = jax.lax.while_loop(cond, body, st0)
 
@@ -623,6 +655,14 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
         )
         converged = err <= opt.tol
         acceptable = err <= opt.acceptable_tol
+        # IPOPT's two-level acceptance: full success at (tol, feas_tol),
+        # else "Solved To Acceptable Level" at (acceptable_tol,
+        # acceptable_viol_tol) — the reference treats both as feas=True
+        # (src/obca.py:1052-1056, IPOPT acceptable_constr_viol_tol).
+        feas = jnp.logical_or(
+            jnp.logical_and(converged, viol <= opt.feas_tol),
+            jnp.logical_and(acceptable, viol <= opt.acceptable_viol_tol),
+        )
         return IPMResult(
             z=unravel(zv * d_scale),
             s=s,
@@ -633,7 +673,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             viol=viol,
             iters=st.it,
             converged=converged,
-            feas=jnp.logical_and(acceptable, viol <= opt.feas_tol),
+            feas=feas,
         )
 
     return solve
