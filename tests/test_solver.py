@@ -144,6 +144,24 @@ def test_infeasible_problem_reports_infeasible():
     assert np.isfinite(float(res.viol))
 
 
+def test_hessian_coloring_matches_dense_hessian(demo1_window_problem):
+    """The star-coloring compressed Hessian (spine probes + one probe per
+    block slot, solver/ipm.py hessian_coloring) must reproduce
+    jax.hessian exactly: same Newton systems, same iterates. Any Hessian
+    term coupling two distinct dual blocks would break this."""
+    spec, data = demo1_window_problem
+    s_col = make_obca_solver(spec, IPMOptions(kkt="arrow"))
+    s_dense = make_obca_solver(
+        spec, IPMOptions(kkt="arrow", hessian_coloring=False))
+    rc = jax.jit(s_col)(data)
+    rd = jax.jit(s_dense)(data)
+    assert bool(rc.feas) and bool(rd.feas)
+    assert int(rc.iters) == int(rd.iters)
+    np.testing.assert_allclose(
+        np.asarray(rc.z["x"]), np.asarray(rd.z["x"]), rtol=1e-7, atol=1e-8
+    )
+
+
 def test_arrow_kkt_matches_dense_al_chol(demo1_window_problem):
     """The block-arrow factorization must solve the exact same KKT
     systems as the dense al_chol path: same iterates, same solution.

@@ -122,6 +122,13 @@ class IPMOptions:
     # to the iterative refinement in the KKT solve; 'default' (1 bf16
     # pass) stalls the iteration.
     matmul_precision: str = "highest"
+    # Build the Lagrangian Hessian by star-coloring HVP probes instead of
+    # jax.hessian when the problem declares its arrow structure: the K
+    # dual blocks are mutually uncoupled, so spine columns (one probe
+    # each) plus bq probes that sum the same slot of every block recover
+    # the exact Hessian in n_spine + bq (= 62) HVPs instead of n (= 534)
+    # — measured 7.0 -> ~1 ms of the IPM iteration at batch 256.
+    hessian_coloring: bool = True
     debug: bool = False          # per-iteration jax.debug.print trace
 
 
@@ -141,6 +148,40 @@ class IPMResult(NamedTuple):
 def _row_scales(J, g_max):
     m = jnp.max(jnp.abs(J), axis=-1)
     return jnp.minimum(1.0, g_max / jnp.maximum(m, 1e-12))
+
+
+def _chol_inv_small(A):
+    """Inverse of batched small SPD blocks (..., m, m) via an UNROLLED
+    Cholesky + forward substitution.
+
+    XLA's batched ``jnp.linalg.cholesky``/``cho_solve`` lower to a
+    loop-per-column LAPACK-style path that is pathological for tiny
+    matrices on TPU: the (K=60, 8, 8) block factorization measured
+    13.7 ms of the 22 ms IPM iteration at batch 256 (scripts/
+    profile_arrow.py). Unrolling the m = E+4 (= 8) steps turns it into
+    ~m^2 fused vector ops over the batch. A non-SPD block produces
+    sqrt(negative) = NaN which propagates through the inverse — exactly
+    the failure signal ``jnp.linalg.cholesky`` gives the inertia ladder.
+    """
+    m = A.shape[-1]
+    idx = jnp.arange(m)
+    cols = []
+    for j in range(m):
+        v = A[..., :, j]
+        for k in range(j):
+            v = v - cols[k] * cols[k][..., j : j + 1]
+        d = jnp.sqrt(v[..., j : j + 1])
+        cols.append(jnp.where(idx >= j, v / d, 0.0))
+    L = jnp.stack(cols, axis=-1)
+    # rows of L^{-1} by forward substitution
+    rows = []
+    for i in range(m):
+        acc = jnp.where(idx == i, jnp.ones_like(A[..., i, :]), 0.0)
+        for k in range(i):
+            acc = acc - L[..., i, k : k + 1] * rows[k]
+        rows.append(acc / L[..., i, i : i + 1])
+    Linv = jnp.stack(rows, axis=-2)
+    return jnp.einsum("...ki,...kj->...ij", Linv, Linv)
 
 
 def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
@@ -203,6 +244,19 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
         q_idx_np = p_idx_np = None
         if kkt_mode == "arrow":
             kkt_mode = "al_chol"  # no structure declared — dense fallback
+
+    # star-coloring probe matrix for the compressed Hessian (see
+    # IPMOptions.hessian_coloring): one unit probe per spine variable,
+    # then one summed probe per block slot
+    if q_idx_np is not None and opt.hessian_coloring:
+        _n_p = p_idx_np.shape[0]
+        _bq = q_idx_np.shape[1]
+        probes_np = np.zeros((_n_p + _bq, n), dtype=np.float64)
+        probes_np[np.arange(_n_p), p_idx_np] = 1.0
+        for _j in range(_bq):
+            probes_np[_n_p + _j, q_idx_np[:, _j]] = 1.0
+    else:
+        probes_np = None
 
     def f_flat(zv, params):
         return f_fn(unravel(zv * d_scale), params)
@@ -287,7 +341,31 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             # identity rows are linear in z — zero curvature, excluded
             return fs(zv) - y @ cEs(zv) - w_d @ cDs(zv)
 
-        hess_lag = jax.hessian(lag)
+        if probes_np is None:
+            hess_lag = jax.hessian(lag)
+        else:
+            probes = jnp.asarray(probes_np, dtype)
+            n_p = p_idx_np.shape[0]
+
+            def hess_lag(zv, y, w_d):
+                # compressed Hessian: HV[c] = H @ probe_c. Spine probes
+                # give full columns; block-slot probes give each block's
+                # own rows (cross-block entries are exactly zero); the
+                # spine rows of block columns come from symmetry.
+                def hvp(v):
+                    return jax.jvp(lambda z_: jax.grad(lag)(z_, y, w_d),
+                                   (zv,), (v,))[1]
+
+                HV = jax.vmap(hvp)(probes)                    # (C, n)
+                Hp = HV[:n_p].T                                # (n, n_p)
+                Hqq = jnp.transpose(
+                    HV[n_p:][:, q_idx_np], (1, 2, 0))          # (K, bq, bq)
+                H = jnp.zeros((n, n), dtype)
+                H = H.at[:, p_idx_np].set(Hp)
+                H = H.at[p_idx_np, :].set(Hp.T)
+                H = H.at[q_idx_np[:, :, None],
+                         q_idx_np[:, None, :]].set(Hqq)
+                return H
 
         # ---- initialization (inequality duals start at <= 1, Ipopt-style)
         cI0 = cIs(z0)
@@ -496,16 +574,17 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 Gqq = G[q_idx_np[:, :, None], q_idx_np[:, None, :]]
                 Gpq = G[p_idx_np[:, None, None], q_idx_np[None, :, :]]
                 Gpp = G[p_idx_np[:, None], p_idx_np[None, :]]
-                Lq = jnp.linalg.cholesky(Gqq)               # (K, bq, bq)
+                # unrolled tiny-block inverse (see _chol_inv_small: the
+                # batched LAPACK path was 13.7 of the 22 ms iteration)
+                Qinv = _chol_inv_small(Gqq)                  # (K, bq, bq)
                 Gqp = jnp.transpose(Gpq, (1, 2, 0))          # (K, bq, np_)
-                Yq = jax.scipy.linalg.cho_solve((Lq, True), Gqp)
+                Yq = jnp.einsum("kbc,kcp->kbp", Qinv, Gqp)
                 S = Gpp - jnp.einsum("pkb,kbq->pq", Gpq, Yq)
                 Ls = jnp.linalg.cholesky(S)
 
                 def gsolve(b):
                     bq = b[q_idx_np]                         # (K, bq)
-                    wq = jax.scipy.linalg.cho_solve(
-                        (Lq, True), bq[..., None])[..., 0]
+                    wq = jnp.einsum("kbc,kc->kb", Qinv, bq)
                     rp = b[p_idx_np] - jnp.einsum("pkb,kb->p", Gpq, wq)
                     dp = jax.scipy.linalg.cho_solve(
                         (Ls, True), rp[..., None])[..., 0]
