@@ -138,3 +138,26 @@ def test_free_with_moving_obstacles_is_obca2():
                                               feas_tol=1e-4))
     res = solve(data, init_vars(spec, data))
     assert bool(res.feas), (float(res.kkt_err), float(res.viol))
+
+
+def test_obca_k0_reference_parity(demo1_world):
+    """The reference imposes the OBCA block at k = 0 too
+    (src/obca.py:968 loops k = 0..N); our default drops it because x_0
+    is pinned by the initial equality. This checks the equivalence claim
+    in OBCASpec.obca_k0: with the block on, the solve must still be
+    feasible and produce the same trajectory within solver tolerance."""
+    demo, scn, shape, x0, xref = demo1_world
+    opts = IPMOptions(max_iters=200, acceptable_tol=5e-3, feas_tol=1e-4)
+    sols = {}
+    for k0 in (False, True):
+        spec = OBCASpec(N=N, n_obs=shape.n_obs, e_max=shape.e_max,
+                        variant="free", obca_k0=k0)
+        data = build_obca_data(spec, scn, x0=x0, u0=jnp.zeros(2),
+                               xref=xref, Ts=0.1)
+        res = make_obca_solver(spec, opts)(data, init_vars(spec, data))
+        assert bool(res.feas), (k0, float(res.kkt_err), float(res.viol))
+        sols[k0] = (np.asarray(res.z["x"]), np.asarray(res.z["u"]),
+                    float(res.z["T"]))
+    np.testing.assert_allclose(sols[True][0], sols[False][0], atol=2e-3)
+    np.testing.assert_allclose(sols[True][1], sols[False][1], atol=2e-3)
+    assert abs(sols[True][2] - sols[False][2]) < 2e-3
