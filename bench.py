@@ -137,6 +137,51 @@ def main():
     solves_per_s = B / t
     log(f"times: {[f'{x:.3f}' for x in times]}  -> {solves_per_s:.1f} solves/s")
 
+    # --- closed-loop replan latency at N = 5 (BASELINE.json metric #2) ---
+    # One replan = one single-scenario jitted OBCA solve from a mid-path
+    # pose, demo9 world — the per-step latency a closed loop pays
+    # (reference: one serial IPOPT call, ~0.1-1 s,
+    # src/closed_loop.py:380-398). Measured per-call (dispatch included),
+    # quantiles via utils.metrics.MetricsLogger.
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.utils.metrics import (
+        MetricsLogger,
+    )
+
+    N5 = 5
+    reps_lat = int(os.environ.get("BENCH_LAT_REPS", "30"))
+    spec5 = OBCASpec(N=N5, n_obs=shape.n_obs, e_max=shape.e_max,
+                     variant="free")
+    lat = MetricsLogger()
+    x05 = x0s[: reps_lat]
+    xref5 = jax.vmap(lambda x0: window_reference(refj, L, x0, N5))(x05)
+    data5 = jax.jit(jax.vmap(
+        lambda x0, xr: build_obca_data(spec5, scn, x0=x0,
+                                       u0=jnp.zeros(2, dtype),
+                                       xref=xr, Ts=0.1)
+    ))(x05, xref5)
+    solve5 = jax.jit(make_obca_solver(spec5, IPMOptions(
+        max_iters=iters, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3,
+        n_deltas=1,
+    )), device=dev)
+    one = lambda i: jax.tree.map(lambda a: a[i], data5)
+    d0 = jax.device_put(one(0), dev)
+    z0 = jax.device_put(init_vars(spec5, d0), dev)
+    t0 = time.time()
+    r = solve5(d0, z0)
+    _ = float(np.asarray(r.iters))
+    log(f"replan N=5 compile+first: {time.time() - t0:.1f} s")
+    feas5 = 0
+    for i in range(reps_lat):
+        di = jax.device_put(one(i), dev)
+        zi = jax.device_put(init_vars(spec5, di), dev)
+        with lat.timer("replan_ms"):
+            r = solve5(di, zi)
+            feas5 += int(np.asarray(r.feas))  # blocks on completion
+        lat.bump("replans")
+    q = lat.quantiles("replan_ms")
+    log(f"replan N=5 latency: p50 {q['p50']:.1f} ms  p90 {q['p90']:.1f}  "
+        f"p99 {q['p99']:.1f}  feas {feas5}/{reps_lat}")
+
     print(json.dumps({
         "metric": "obca_free_time_N10_solves_per_s",
         "value": round(solves_per_s, 2),
@@ -145,6 +190,9 @@ def main():
         "feasible_fraction": round(feas_frac, 4),
         "batch": B,
         "device": str(dev),
+        "replan_N5_p50_ms": round(q["p50"], 2),
+        "replan_N5_p99_ms": round(q["p99"], 2),
+        "replan_N5_feasible": feas5 / reps_lat,
     }))
 
 

@@ -22,7 +22,7 @@ def _parse():
                     help="demo1..demo11 (reference src/demo_setting.py:82-341)")
     ap.add_argument("--mode", default="closed",
                     choices=["closed", "scan", "astar", "open", "perf",
-                             "time"],
+                             "time", "legacy1", "legacy3"],
                     help="closed: host receding-horizon loop; scan: jitted "
                          "lax.scan rollout; astar: front-end only; open: "
                          "two-phase open-loop (simulation.run equivalent); "

@@ -33,8 +33,10 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
 # Demos whose host closed loop currently aborts infeasible mid-run (the
 # reference never published outcomes for these configs). Tracked so a
 # robustness regression on the others fails loudly; shrink this set as
-# fixes land.
-KNOWN_ABORTS = {"demo2", "demo4", "demo6"}
+# fixes land. demo2 was fixed by the free-branch mpc8 fallback
+# (runtime/closed_loop.py); demo4/demo6 still abort in the fix-time
+# branch.
+KNOWN_ABORTS = {"demo4", "demo6"}
 
 ALL_DEMOS = demo_names()
 

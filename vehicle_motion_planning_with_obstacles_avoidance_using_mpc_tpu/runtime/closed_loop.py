@@ -95,8 +95,16 @@ class ClosedLoopRunner:
 
     def __init__(self, demo: DemoSpec, params: MPCParams = None,
                  ipm_options: IPMOptions = None, dtype=jnp.float64,
-                 max_steps: int = 30, warm_start: bool = False):
+                 max_steps: int = 30, warm_start: bool = False,
+                 metrics=None):
         self.demo = demo
+        # structured observability (SURVEY.md section 5): per-step replan
+        # latency / iteration series + mode counters, vs the reference's
+        # prints (src/closed_loop.py:402-405)
+        if metrics is None:
+            from ..utils.metrics import MetricsLogger
+            metrics = MetricsLogger()
+        self.metrics = metrics
         self.p = params or demo.params
         self.dtype = dtype
         self.max_steps = max_steps  # src/closed_loop.py:431 caps k at 30
@@ -253,6 +261,29 @@ class ClosedLoopRunner:
                 feas = bool(res.feas)
                 fallback = False
                 Ts_opt = float(res.z["T"]) * Ts_cur  # src/obca.py:1059
+                if not feas:
+                    # free-branch fallback (beyond the reference, which
+                    # aborts here): the free-time NLP can converge to a
+                    # local infeasibility in the OBCA dual equalities
+                    # (T-invariant — seen on demo2/4/6 when the lidar
+                    # clears and Ts has grown via the fix-time feedback);
+                    # the fixed-time no-terminal variant (= obca_mpc8,
+                    # src/obca.py:1415) is a differently-shaped NLP that
+                    # escapes it.
+                    spec8, msolve8 = self._solver(
+                        "fix_free_end", N_free, 2)
+                    data8 = build_obca_data(
+                        spec8, self.scn, x0=x0, u0=u0, xref=xref,
+                        Ts=Ts_cur,
+                        q=p.q_fix, r1=p.r1_fix, r2=p.r2_fix,
+                        v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
+                        alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
+                    )
+                    res, _ = msolve8(
+                        data8, jnp.asarray(np.stack(cands), self.dtype))
+                    feas = bool(res.feas)
+                    fallback = True
+                    Ts_opt = Ts_cur
             else:
                 xref = window_reference(ref_j, L, jnp.asarray(x0, self.dtype), N_fix)
                 if x_prev_plan is not None:
@@ -297,6 +328,14 @@ class ClosedLoopRunner:
                     feas = bool(res.feas)
                     fallback = True
             solve_ms = (_time.time() - t_solve) * 1e3
+            self.metrics.record("replan_ms", solve_ms)
+            self.metrics.record("iters", int(res.iters))
+            self.metrics.bump("replans")
+            self.metrics.bump("fixtime_steps" if fixtime else "freetime_steps")
+            if fallback:
+                self.metrics.bump("fallbacks")
+            if not feas:
+                self.metrics.bump("infeasible")
 
             x_plan = np.asarray(res.z["x"])
             u_plan = np.asarray(res.z["u"])
@@ -340,6 +379,158 @@ class ClosedLoopRunner:
 
             k += 1
             if k == self.max_steps:  # src/closed_loop.py:431
+                break
+
+        return ClosedLoopResult(
+            demo=demo.name,
+            reached_goal=bool(goal_reached(x0, goal)),
+            aborted_infeasible=aborted,
+            steps=steps,
+            x_ref=ref,
+        )
+
+
+    # --- legacy drivers -----------------------------------------------------
+
+    def run_legacy(self, mode: str = "mpc1",
+                   verbose: bool = False) -> ClosedLoopResult:
+        """Legacy closed-loop drivers over the same solver variants.
+
+        ``mode="mpc1"`` reproduces ``closedLoop.closed_loop_mpc``
+        (src/closed_loop.py:142-209): every step is a free-time ``obca2``
+        solve with obstacle constraints rebuilt *static-only*
+        (``update_obstacle_constraint(N_free, Ts, 0)`` — dynamic obstacles
+        move in the world but are invisible to the solver), no sensor, no
+        mode switch.
+
+        ``mode="mpc3"`` reproduces ``closed_loop_mpc3``
+        (src/closed_loop.py:211-321): sensor-driven switch like the live
+        mpc4 driver, but the fix-time branch takes its terminal set
+        straight from the demo config (``self.setting.terminal_set``) and
+        reinterpolates the windowed A* reference *without* splicing the
+        previous plan.
+        """
+        import time as _time
+
+        assert mode in ("mpc1", "mpc3")
+        demo = self.demo
+        p = self.p
+        ref = astar_host.reference_path_for(
+            np.asarray(self.scn.grid), demo.start, demo.goal
+        )
+        ref_j = jnp.asarray(ref, self.dtype)
+        L = ref.shape[1]
+
+        x0 = np.asarray(demo.start, float)
+        u0 = np.zeros(2)
+        Ts_cur = p.Ts
+        Ts_opt = p.Ts
+        N_free, N_fix = p.N_free, p.N_fix
+        goal = np.asarray(demo.goal, float)
+        dyn_pos = np.asarray(self.scn.dyn_info)[:, :2].astype(float).copy()
+        spawn_pos = dyn_pos.copy()
+        no_dyn = jnp.zeros(self.scn.d_mask.shape, self.dtype)
+
+        steps = []
+        aborted = False
+        k = 0
+        while not goal_reached(x0, goal):
+            dyn_pos, appeared = self._advance_obstacles(k, Ts_opt, dyn_pos)
+            if mode == "mpc3":
+                sensed, dyn_verts = self._sense(x0, dyn_pos, appeared)
+                fixtime = bool(np.any(sensed))
+            else:
+                sensed = np.zeros(len(dyn_pos), bool)
+                dyn_verts = None
+                fixtime = False
+
+            t_solve = _time.time()
+            if not fixtime:
+                # free-time obca2 against static obstacles only
+                # (src/closed_loop.py:163,241: dynObs_exist = 0)
+                xref = window_reference(
+                    ref_j, L, jnp.asarray(x0, self.dtype), N_free)
+                spec, msolve = self._solver("free", N_free, 2)
+                data = build_obca_data(
+                    spec, self.scn, x0=x0, u0=u0, xref=xref, Ts=Ts_cur,
+                    dyn_active=no_dyn,
+                    q=p.q_free, r1=p.r1_free, r2=p.r2_free,
+                    v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
+                    alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
+                    time_c1=p.time_c1, time_c2=p.time_c2,
+                )
+                cands = candidate_inits(np.asarray(xref), x0)[:2]
+                while len(cands) < 2:
+                    cands.append(cands[0])
+                res, _ = msolve(data, jnp.asarray(np.stack(cands), self.dtype))
+                feas = bool(res.feas)
+                fallback = False
+                Ts_opt = float(res.z["T"]) * Ts_cur
+            else:
+                # fix-time branch: window at N_fix, reinterpolate (no
+                # splice — src/closed_loop.py:247-249), config terminal set
+                xref = window_reference(
+                    ref_j, L, jnp.asarray(x0, self.dtype), N_fix)
+                xref, N_new = reinterpolate_openloop(xref, N_free, N_fix)
+                Ts_opt = (N_free * Ts_opt) / N_new
+                Ts_cur = Ts_opt
+                N_fix = N_new
+                terminal_set = np.array(demo.terminal_policy.base, float)
+
+                spec, msolve = self._solver("fix_terminal", N_fix, 5)
+                data = build_obca_data(
+                    spec, self.scn, x0=x0, u0=u0, xref=xref, Ts=Ts_cur,
+                    dyn_active=jnp.asarray(sensed, self.dtype),
+                    dyn_delta=jnp.asarray(dyn_pos - spawn_pos, self.dtype),
+                    Ts_pred=Ts_opt,
+                    terminal_set=terminal_set,
+                    q=p.q_fix, r1=p.r1_fix, r2=p.r2_fix,
+                    v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
+                    alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
+                )
+                boxes = self._dyn_boxes(N_fix, sensed, dyn_pos, Ts_opt)
+                cands = candidate_inits(
+                    np.asarray(xref), x0, dyn_boxes=boxes,
+                    y_bounds=(float(self.scn.x_lo[1]),
+                              float(self.scn.x_hi[1])),
+                )
+                while len(cands) < 5:
+                    cands.append(cands[0])
+                x_inits = jnp.asarray(np.stack(cands[:5]), self.dtype)
+                res, _ = msolve(data, x_inits)
+                feas = bool(res.feas)
+                fallback = False
+                if not feas:  # src/closed_loop.py:274-279
+                    spec8, msolve8 = self._solver("fix_free_end", N_fix, 5)
+                    res, _ = msolve8(data, x_inits)
+                    feas = bool(res.feas)
+                    fallback = True
+            solve_ms = (_time.time() - t_solve) * 1e3
+            self.metrics.record("replan_ms", solve_ms)
+            self.metrics.bump("replans")
+
+            x_plan = np.asarray(res.z["x"])
+            u_plan = np.asarray(res.z["u"])
+            steps.append(StepRecord(
+                k=k, fixtime=fixtime, feas=feas, fallback=fallback,
+                x=(x_plan[:, 1] if feas else x0).copy(),
+                u=(u_plan[:, 0] if feas else u0).copy(), Ts_opt=Ts_opt,
+                x_open_loop=x_plan.T, iters=int(res.iters),
+                kkt_err=float(res.kkt_err), solve_ms=solve_ms,
+                dyn_vertices=dyn_verts,
+            ))
+            if not feas:
+                aborted = True
+                if verbose:
+                    print(f"step {k}: legacy {mode} MPC failed")
+                break
+            u0 = u_plan[:, 0]
+            x0 = x_plan[:, 1]
+            if verbose:
+                print(f"step {k}: {mode} fixtime={int(fixtime)} "
+                      f"Ts_opt={Ts_opt:.3f} x={np.round(x0, 3)}")
+            k += 1
+            if k == self.max_steps:
                 break
 
         return ClosedLoopResult(

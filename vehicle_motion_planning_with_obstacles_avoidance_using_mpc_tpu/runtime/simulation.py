@@ -68,9 +68,12 @@ class Simulation:
         from ..scenarios import get_demo
         from .closed_loop import ClosedLoopRunner
 
+        legacy = kw.pop("legacy", None)  # "mpc1"/"mpc3" selects the
+        # legacy drivers (src/closed_loop.py:142-321) over the live mpc4
         runner = ClosedLoopRunner(get_demo(demo_name), dtype=self.dtype,
                                   max_steps=max_steps, **kw)
-        res = runner.run(verbose=verbose)
+        res = (runner.run_legacy(mode=legacy, verbose=verbose)
+               if legacy else runner.run(verbose=verbose))
         if gif_path:
             from ..viz import animate_closed_loop
 
