@@ -124,6 +124,20 @@ def main():
         f"{np.median(it):.0f}  p90: {np.percentile(it, 90):.0f}  "
         f"max: {it.max()}  (batch pays max: vmapped while_loop)")
 
+    # analytic FLOP/MFU accounting (VERDICT r1 item 3): XLA's own cost
+    # model for the whole batched solve, utilization against the v5e
+    # bf16 MXU peak (197 TFLOP/s; f32 'highest' emulation pays 6 bf16
+    # passes per matmul, already counted by the cost model as f32 flops)
+    flops = None
+    try:
+        lowered = jax.jit(jax.vmap(solve)).lower(datab, z0b)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # cost model unavailable over the tunnel
+        log(f"cost_analysis unavailable: {e}")
+
     times = []
     for i in range(reps):
         # perturb the start so no two timed calls are identical (the
@@ -182,6 +196,14 @@ def main():
     log(f"replan N=5 latency: p50 {q['p50']:.1f} ms  p90 {q['p90']:.1f}  "
         f"p99 {q['p99']:.1f}  feas {feas5}/{reps_lat}")
 
+    extra = {}
+    if flops is not None:
+        # HLO counts one f32 flop per MAC; 'highest' emulation issues ~6
+        # bf16 MXU passes per f32 matmul, so true MXU occupancy is higher
+        extra = {
+            "hlo_gflops_per_call": round(flops / 1e9, 1),
+            "mfu_vs_bf16_peak": round(flops / t / 197e12, 4),
+        }
     print(json.dumps({
         "metric": "obca_free_time_N10_solves_per_s",
         "value": round(solves_per_s, 2),
@@ -193,6 +215,7 @@ def main():
         "replan_N5_p50_ms": round(q["p50"], 2),
         "replan_N5_p99_ms": round(q["p99"], 2),
         "replan_N5_feasible": feas5 / reps_lat,
+        **extra,
     }))
 
 

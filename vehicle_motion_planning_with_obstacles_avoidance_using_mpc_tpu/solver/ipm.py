@@ -245,6 +245,11 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
         if kkt_mode == "arrow":
             kkt_mode = "al_chol"  # no structure declared — dense fallback
 
+    # the fully-structured Newton step (no dense n x n materialization)
+    # needs both the declared arrow layout and the coloring probes
+    arrow_structured = (kkt_mode == "arrow" and opt.hessian_coloring
+                        and q_idx_np is not None)
+
     # star-coloring probe matrix for the compressed Hessian (see
     # IPMOptions.hessian_coloring): one unit probe per spine variable,
     # then one summed probe per block slot
@@ -480,16 +485,209 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 st.mu_b,
             )
 
-            H = hess_lag(zv, y, w[m_id:])
-
             sigma = w / s
-            W = H + jiT_diag_ji(JD, sigma)
             rhs1 = -r_d - jiT_apply(JD, (w * cI - mu_b) / s)
             rhs2 = -cE
 
             # --- parallel regularization ladder (inertia correction)
             base = jnp.maximum(st.delta, opt.delta0)
             ladder = base * (opt.delta_step ** jnp.arange(opt.n_deltas, dtype=dtype))
+            dd = jnp.asarray(opt.delta_d_al, dtype)
+
+            if arrow_structured:
+                # ---- fully structured Newton step: H, W and the AL
+                # kernel G = W + delta*I + J^T J/dd are built and
+                # factorized directly in arrow-block form
+                #   (App (np,np), Apq (np,K,bq), Aqq (K,bq,bq))
+                # — the dense (n, n) matrices are never materialized.
+                # Correct because (a) the Hessian's cross-block entries
+                # are exactly zero (the coloring invariant) and (b) every
+                # dense constraint row touches at most ONE dual block
+                # plus the spine, so J^T D J has the same sparsity (see
+                # test_arrow_structured_matches_dense_al_chol).
+                n_p = p_idx_np.shape[0]
+                w_d = w[m_id:]
+
+                def hvp(v):
+                    return jax.jvp(
+                        lambda z_: jax.grad(lag)(z_, y, w_d), (zv,), (v,)
+                    )[1]
+
+                HV = jax.vmap(hvp)(probes)                   # (np+bq, n)
+                Hp = HV[:n_p]                                # (np, n)
+                Hpp = Hp[:, p_idx_np]
+                Hpq = Hp[:, q_idx_np]                        # (np, K, bq)
+                Hqq = jnp.transpose(HV[n_p:][:, q_idx_np], (1, 2, 0))
+
+                diag_n = jnp.zeros((n,), dtype).at[id_idx].add(
+                    sgn_eff * sgn_eff * sigma[:m_id])
+                sig_d = sigma[m_id:]
+                JD_p = JD[:, p_idx_np]
+                JD_q = JD[:, q_idx_np]                       # (mD, K, bq)
+                JE_p = JE[:, p_idx_np]
+                JE_q = JE[:, q_idx_np]
+                JDs = JD_p * sig_d[:, None]
+                Wpp = (Hpp + JDs.T @ JD_p
+                       + jnp.diag(diag_n[p_idx_np]))
+                Wpq = Hpq + jnp.einsum("ma,mkb->akb", JDs, JD_q)
+                Wqq = (Hqq
+                       + jnp.einsum("mkb,mkc->kbc",
+                                    JD_q * sig_d[:, None, None], JD_q)
+                       + jax.vmap(jnp.diag)(diag_n[q_idx_np]))
+                Gpp0 = Wpp + (JE_p.T @ JE_p) / dd
+                Gpq0 = Wpq + jnp.einsum("ma,mkb->akb", JE_p, JE_q) / dd
+                Gqq0 = Wqq + jnp.einsum("mkb,mkc->kbc", JE_q, JE_q) / dd
+                eye_p = jnp.eye(n_p, dtype=dtype)
+                eye_b = jnp.eye(q_idx_np.shape[1], dtype=dtype)
+
+                r1p, r1q = rhs1[p_idx_np], rhs1[q_idx_np]
+                jt2p = (JE_p.T @ rhs2) / dd
+                jt2q = jnp.einsum("m,mkb->kb", rhs2, JE_q) / dd
+
+                def wmv(dp, dq):
+                    op = Wpp @ dp + jnp.einsum("akb,kb->a", Wpq, dq)
+                    oq = (jnp.einsum("akb,a->kb", Wpq, dp)
+                          + jnp.einsum("kbc,kc->kb", Wqq, dq))
+                    return op, oq
+
+                def jev(dp, dq):
+                    return JE_p @ dp + jnp.einsum("mkb,kb->m", JE_q, dq)
+
+                def kkt_solve_arrow_s(delta):
+                    Gqq = Gqq0 + delta * eye_b
+                    Gpp = Gpp0 + delta * eye_p
+                    Qinv = _chol_inv_small(Gqq)              # (K, bq, bq)
+                    Gqp = jnp.transpose(Gpq0, (1, 2, 0))     # (K, bq, np)
+                    Yq = jnp.einsum("kbc,kcp->kbp", Qinv, Gqp)
+                    S = Gpp - jnp.einsum("pkb,kbq->pq", Gpq0, Yq)
+                    # explicit spine inverse: every later solve is a
+                    # matvec — no serial triangular substitution
+                    Sinv = _chol_inv_small(S)
+
+                    def gsolve(bp, bq_):
+                        wq = jnp.einsum("kbc,kc->kb", Qinv, bq_)
+                        rp = bp - jnp.einsum("pkb,kb->p", Gpq0, wq)
+                        dp = Sinv @ rp
+                        dq = wq - jnp.einsum("kbp,p->kb", Yq, dp)
+                        return dp, dq
+
+                    def al_solve(bp, bq_, r2, jtp, jtq):
+                        dp, dq = gsolve(bp + jtp, bq_ + jtq)
+                        v = (jev(dp, dq) - r2) / dd
+                        return dp, dq, v
+
+                    dp, dq, v = al_solve(r1p, r1q, rhs2, jt2p, jt2q)
+                    for _ in range(2):
+                        wp_, wq_ = wmv(dp, dq)
+                        res1p = wp_ + delta * dp + JE_p.T @ v - r1p
+                        res1q = (wq_ + delta * dq
+                                 + jnp.einsum("m,mkb->kb", v, JE_q) - r1q)
+                        res2 = jev(dp, dq) - opt.delta_d * v - rhs2
+                        cp, cq, cv = al_solve(
+                            res1p, res1q, res2, (JE_p.T @ res2) / dd,
+                            jnp.einsum("m,mkb->kb", res2, JE_q) / dd)
+                        dp, dq, v = dp - cp, dq - cq, v - cv
+                    dz = (jnp.zeros((n,), dtype)
+                          .at[p_idx_np].set(dp)
+                          .at[q_idx_np.reshape(-1)].set(dq.reshape(-1)))
+                    sol = jnp.concatenate([dz, v])
+                    wp_, wq_ = wmv(dp, dq)
+                    curv = (dp @ wp_ + jnp.sum(dq * wq_)
+                            + delta * (dp @ dp + jnp.sum(dq * dq)))
+                    good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
+                    return sol, good
+
+                sols, goods = jax.vmap(kkt_solve_arrow_s)(ladder)
+            else:
+                sols, goods = _dense_kkt(zv, y, w, s, sigma, JE, JD, cE, cI,
+                                         mu_b, rhs1, rhs2, ladder, dd)
+            first = jnp.argmax(goods)  # first True, or 0 if none
+            any_good = jnp.any(goods)
+            pick = jnp.where(any_good, first, opt.n_deltas - 1)
+            sol = sols[pick]
+            delta_used = ladder[pick]
+            bad = jnp.logical_not(any_good & jnp.all(jnp.isfinite(sol)))
+
+            dz = sol[:n]
+            dy = -sol[n:]
+            ds = ji_apply(JD, dz) + (cI - s)
+            dw = -(s * w - mu_b + w * ds) / s
+
+            # fraction-to-boundary
+            tau = jnp.maximum(opt.tau_min, 1.0 - mu_b)
+            a_s = jnp.min(jnp.where(ds < 0, -tau * s / jnp.where(ds < 0, ds, -1.0), 1.0))
+            a_w = jnp.min(jnp.where(dw < 0, -tau * w / jnp.where(dw < 0, dw, -1.0), 1.0))
+            a_s = jnp.minimum(a_s, 1.0)
+            a_w = jnp.minimum(a_w, 1.0)
+
+            # vectorized filter-style backtracking
+            phi0 = barrier_obj(zv, s, mu_b)
+            th0 = theta(zv, s)
+            g_th = 1e-5
+            alphas = a_s * (0.5 ** jnp.arange(opt.n_backtracks, dtype=dtype))
+
+            def trial(a):
+                zt = zv + a * dz
+                st_ = s + a * ds
+                return barrier_obj(zt, st_, mu_b), theta(zt, st_)
+
+            phis, ths = jax.vmap(trial)(alphas)
+            ok = jnp.isfinite(phis) & (
+                (ths <= (1.0 - g_th) * th0) | (phis <= phi0 - g_th * th0)
+            )
+            any_ok = jnp.any(ok)
+            alpha = jnp.where(any_ok, jnp.max(jnp.where(ok, alphas, 0.0)), 0.0)
+
+            step_ok = jnp.logical_and(~bad, any_ok)
+            alpha = jnp.where(step_ok, alpha, 0.0)
+            a_wd = jnp.where(step_ok, a_w, 0.0)
+
+            # masked update — alpha = 0 alone is not enough: a rejected
+            # step can carry NaN directions (all-Cholesky-rung failure)
+            # and 0 * NaN would poison the state
+            zv_n = jnp.where(step_ok, zv + alpha * dz, zv)
+            s_n = jnp.where(step_ok, s + alpha * ds, s)
+            # equality duals move with the primal step (Ipopt); only the
+            # inequality duals are fraction-to-boundary limited
+            y_n = jnp.where(step_ok, y + alpha * dy, y)
+            w_n = jnp.where(step_ok, w + a_wd * dw, w)
+            # kappa_Sigma safeguard (Ipopt eq. 16)
+            w_n = jnp.clip(
+                w_n,
+                mu_b / (opt.kappa_sigma * s_n),
+                opt.kappa_sigma * mu_b / s_n,
+            )
+
+            # regularization memory: decay on clean success, grow on failure
+            delta_n = jnp.where(
+                step_ok,
+                jnp.maximum(opt.delta0, delta_used / 30.0),
+                jnp.minimum(opt.delta_max, jnp.maximum(st.delta * 100.0, 1e-4)),
+            )
+
+            if opt.debug:
+                jax.debug.print(
+                    "it={i} err0={e:.3e} errmu={em:.3e} mu={m:.2e} a={a:.2e} "
+                    "aw={aw:.2e} d={d:.1e} th0={t:.3e} |rd|={rd:.2e} "
+                    "|cE|={ce:.2e} |w|={wm:.2e}",
+                    i=st.it, e=err_0, em=err_mu, m=mu_b, a=alpha, aw=a_wd,
+                    d=delta_used, t=th0,
+                    rd=jnp.max(jnp.abs(r_d)),
+                    ce=jnp.max(jnp.abs(cE)),
+                    wm=jnp.max(w_n),
+                )
+
+            return State(zv_n, s_n, y_n, w_n, mu_b, delta_n, st.it + 1, done,
+                         acc_it, best_zv, best_s, best_y, best_w, best_err,
+                         best_viol)
+
+        def _dense_kkt(zv, y, w, s, sigma, JE, JD, cE, cI, mu_b,
+                       rhs1, rhs2, ladder, dd):
+            """Dense-assembled KKT step (chol/qr/al_chol and the gather-
+            based arrow path used when hessian coloring is off)."""
+            H = hess_lag(zv, y, w[m_id:])
+            W = H + jiT_diag_ji(JD, sigma)
+            dtype = zv.dtype
             eye_n = jnp.eye(n, dtype=dtype)
             eye_m = jnp.eye(mE, dtype=dtype)
 
@@ -529,7 +727,6 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
                 return sol, good
 
-            dd = jnp.asarray(opt.delta_d_al, dtype)
             JtJ_dd = (JE.T @ JE) / dd
             Jt_rhs2_dd = (JE.T @ rhs2) / dd
 
@@ -635,86 +832,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             kkt_solve = {"chol": kkt_solve_chol, "qr": kkt_solve_qr,
                          "al_chol": kkt_solve_al,
                          "arrow": kkt_solve_arrow}[kkt_mode]
-            sols, goods = jax.vmap(kkt_solve)(ladder)
-            first = jnp.argmax(goods)  # first True, or 0 if none
-            any_good = jnp.any(goods)
-            pick = jnp.where(any_good, first, opt.n_deltas - 1)
-            sol = sols[pick]
-            delta_used = ladder[pick]
-            bad = jnp.logical_not(any_good & jnp.all(jnp.isfinite(sol)))
-
-            dz = sol[:n]
-            dy = -sol[n:]
-            ds = ji_apply(JD, dz) + (cI - s)
-            dw = -(s * w - mu_b + w * ds) / s
-
-            # fraction-to-boundary
-            tau = jnp.maximum(opt.tau_min, 1.0 - mu_b)
-            a_s = jnp.min(jnp.where(ds < 0, -tau * s / jnp.where(ds < 0, ds, -1.0), 1.0))
-            a_w = jnp.min(jnp.where(dw < 0, -tau * w / jnp.where(dw < 0, dw, -1.0), 1.0))
-            a_s = jnp.minimum(a_s, 1.0)
-            a_w = jnp.minimum(a_w, 1.0)
-
-            # vectorized filter-style backtracking
-            phi0 = barrier_obj(zv, s, mu_b)
-            th0 = theta(zv, s)
-            g_th = 1e-5
-            alphas = a_s * (0.5 ** jnp.arange(opt.n_backtracks, dtype=dtype))
-
-            def trial(a):
-                zt = zv + a * dz
-                st_ = s + a * ds
-                return barrier_obj(zt, st_, mu_b), theta(zt, st_)
-
-            phis, ths = jax.vmap(trial)(alphas)
-            ok = jnp.isfinite(phis) & (
-                (ths <= (1.0 - g_th) * th0) | (phis <= phi0 - g_th * th0)
-            )
-            any_ok = jnp.any(ok)
-            alpha = jnp.where(any_ok, jnp.max(jnp.where(ok, alphas, 0.0)), 0.0)
-
-            step_ok = jnp.logical_and(~bad, any_ok)
-            alpha = jnp.where(step_ok, alpha, 0.0)
-            a_wd = jnp.where(step_ok, a_w, 0.0)
-
-            # masked update — alpha = 0 alone is not enough: a rejected
-            # step can carry NaN directions (all-Cholesky-rung failure)
-            # and 0 * NaN would poison the state
-            zv_n = jnp.where(step_ok, zv + alpha * dz, zv)
-            s_n = jnp.where(step_ok, s + alpha * ds, s)
-            # equality duals move with the primal step (Ipopt); only the
-            # inequality duals are fraction-to-boundary limited
-            y_n = jnp.where(step_ok, y + alpha * dy, y)
-            w_n = jnp.where(step_ok, w + a_wd * dw, w)
-            # kappa_Sigma safeguard (Ipopt eq. 16)
-            w_n = jnp.clip(
-                w_n,
-                mu_b / (opt.kappa_sigma * s_n),
-                opt.kappa_sigma * mu_b / s_n,
-            )
-
-            # regularization memory: decay on clean success, grow on failure
-            delta_n = jnp.where(
-                step_ok,
-                jnp.maximum(opt.delta0, delta_used / 30.0),
-                jnp.minimum(opt.delta_max, jnp.maximum(st.delta * 100.0, 1e-4)),
-            )
-
-            if opt.debug:
-                jax.debug.print(
-                    "it={i} err0={e:.3e} errmu={em:.3e} mu={m:.2e} a={a:.2e} "
-                    "aw={aw:.2e} d={d:.1e} th0={t:.3e} |rd|={rd:.2e} "
-                    "|cE|={ce:.2e} |w|={wm:.2e}",
-                    i=st.it, e=err_0, em=err_mu, m=mu_b, a=alpha, aw=a_wd,
-                    d=delta_used, t=th0,
-                    rd=jnp.max(jnp.abs(r_d)),
-                    ce=jnp.max(jnp.abs(cE)),
-                    wm=jnp.max(w_n),
-                )
-
-            return State(zv_n, s_n, y_n, w_n, mu_b, delta_n, st.it + 1, done,
-                         acc_it, best_zv, best_s, best_y, best_w, best_err,
-                         best_viol)
+            return jax.vmap(kkt_solve)(ladder)
 
         st0 = State(
             z0, s0, y0, w0, mu_b0,
