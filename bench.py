@@ -162,7 +162,9 @@ def main():
     )
 
     N5 = 5
-    reps_lat = int(os.environ.get("BENCH_LAT_REPS", "30"))
+    # clamp: x0s only has B entries; JAX clamps OOB gathers, which would
+    # silently re-measure the last scenario and skew the quantiles
+    reps_lat = min(int(os.environ.get("BENCH_LAT_REPS", "30")), B)
     spec5 = OBCASpec(N=N5, n_obs=shape.n_obs, e_max=shape.e_max,
                      variant="free")
     lat = MetricsLogger()

@@ -163,7 +163,14 @@ def main():
     # closed-loop host runner (reference simulation.run_closedLoop)
     runner = ClosedLoopRunner(demo, params=p, dtype=dtype,
                               max_steps=args.max_steps)
-    res = runner.run(verbose=not args.quiet)
+    if args.mode in ("legacy1", "legacy3"):
+        # legacy drivers: closed_loop_mpc (src/closed_loop.py:142) /
+        # closed_loop_mpc3 (:211)
+        res = runner.run_legacy(
+            mode="mpc1" if args.mode == "legacy1" else "mpc3",
+            verbose=not args.quiet)
+    else:
+        res = runner.run(verbose=not args.quiet)
     final = res.steps[-1].x if res.steps else np.asarray(demo.start)
     print(f"{args.demo}: reached_goal={res.reached_goal} "
           f"aborted={res.aborted_infeasible} steps={len(res.steps)} "

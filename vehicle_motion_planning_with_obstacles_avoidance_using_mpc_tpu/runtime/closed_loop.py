@@ -284,6 +284,7 @@ class ClosedLoopRunner:
                     feas = bool(res.feas)
                     fallback = True
                     Ts_opt = Ts_cur
+                    data = data8  # keep last_failure's problem == res's
             else:
                 xref = window_reference(ref_j, L, jnp.asarray(x0, self.dtype), N_fix)
                 if x_prev_plan is not None:
@@ -349,7 +350,7 @@ class ClosedLoopRunner:
                     "Ts_cur": Ts_cur, "Ts_opt": Ts_opt,
                 }
                 steps.append(StepRecord(
-                    k=k, fixtime=fixtime, feas=False, fallback=fixtime,
+                    k=k, fixtime=fixtime, feas=False, fallback=fallback,
                     x=x0.copy(), u=u0.copy(), Ts_opt=Ts_opt,
                     x_open_loop=x_plan.T, iters=int(res.iters),
                     kkt_err=float(res.kkt_err), solve_ms=solve_ms,

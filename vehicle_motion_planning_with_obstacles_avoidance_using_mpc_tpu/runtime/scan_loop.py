@@ -7,9 +7,10 @@ Semantically the same receding-horizon loop as
 fixed-shape scan so that ``vmap`` runs thousands of scenarios per chip and
 ``pjit``/``shard_map`` spread the scenario axis over a mesh:
 
-  * all three solver variants (free-time / fix-time-with-terminal-set /
-    no-terminal fallback) are solved every step and the applicable result
-    is selected by the lidar mode flag — batch members diverge in mode, so
+  * all four solver variants (free-time + its no-terminal fallback /
+    fix-time-with-terminal-set / its no-terminal fallback) are solved
+    every step and the applicable result is selected by the lidar mode
+    flag and the feasibility ladder — batch members diverge in mode, so
     under vmap every branch executes anyway (SPMD-friendly control flow),
   * per-scenario termination (goal reached, infeasible abort, the k == 30
     step cap of src/closed_loop.py:431) is a masked freeze, not an exit —
@@ -90,6 +91,12 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
         spec_fixT, make_obca_solver(spec_fixT, opt), init_vars, N_CAND_FIX)
     ms_fix8 = make_multistart_solver(
         spec_fix8, make_obca_solver(spec_fix8, opt), init_vars, N_CAND_FIX)
+    # free-branch fallback solver (same ladder the host driver runs,
+    # closed_loop.py free branch / src/closed_loop.py:393-398 semantics):
+    # the free-time NLP can converge to a local infeasibility in the OBCA
+    # dual equalities; the fixed-time no-terminal variant escapes it.
+    ms_fb = make_multistart_solver(
+        spec_fix8, make_obca_solver(spec_fix8, opt), init_vars, N_CAND_FREE)
 
     def rollout(scn: Scenario, ref_path, ref_len):
         ref_path = jnp.asarray(ref_path, dtype)
@@ -134,8 +141,26 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             )
             cands_f = candidate_inits_traced(
                 xref_free, st.x0, prev_plan=st.prev_plan)[:N_CAND_FREE]
-            res_free, _ = ms_free(data_free, cands_f)
-            Ts_opt_free = res_free.z["T"] * st.Ts_cur
+            res_free0, _ = ms_free(data_free, cands_f)
+            # free-branch mpc8 fallback (masked select — mirrors the host
+            # driver's ladder, closed_loop.py:264-286): fixed-time
+            # no-terminal solve at Ts_cur with the fix-branch weights.
+            data_fb = build_obca_data(
+                spec_fix8, scn, x0=st.x0, u0=st.u0, xref=xref_free,
+                Ts=st.Ts_cur, q=p.q_fix, r1=p.r1_fix, r2=p.r2_fix,
+                v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
+                alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
+            )
+            res_fb, _ = ms_fb(data_fb, cands_f)
+            use_fb = ~res_free0.feas
+            mergef = lambda a, b: jnp.where(use_fb, b, a)
+            res_free = SimpleNamespace(
+                z={k: mergef(res_free0.z[k], res_fb.z[k])
+                   for k in ("x", "u")},
+                feas=mergef(res_free0.feas, res_fb.feas),
+            )
+            Ts_opt_free = jnp.where(
+                use_fb, st.Ts_cur, res_free0.z["T"] * st.Ts_cur)
 
             # 4. fix-time branch (src/closed_loop.py:360-398)
             xref_fix = window_reference(ref_path, ref_len, st.x0, N)

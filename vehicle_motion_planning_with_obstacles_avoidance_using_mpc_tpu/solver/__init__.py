@@ -52,6 +52,15 @@ def make_obca_solver(spec: OBCASpec, options: IPMOptions = IPMOptions(),
             z0 = _obca.init_vars(spec, data)
         return base(z0, data)
 
+    # chunked-iteration API (data-first signatures; see solver/compact.py)
+    def init(data: OBCAData, z0=None):
+        if z0 is None:
+            z0 = _obca.init_vars(spec, data)
+        return base.init(z0, data)
+
+    solve.init = init
+    solve.iterate = lambda st, data, it_cap: base.iterate(st, data, it_cap)
+    solve.finalize = lambda st, data: base.finalize(st, data)
     return solve
 
 

@@ -145,6 +145,40 @@ class IPMResult(NamedTuple):
     feas: jnp.ndarray       # bool: converged & viol <= feas_tol
 
 
+class IPMState(NamedTuple):
+    """Full iteration state — the carry of ``solve.iterate``.
+
+    Exposed (vs being a while_loop internal) so a batched driver can run
+    fixed-size iteration *chunks* and compact unconverged lanes between
+    chunks (gather/scatter), instead of every lane paying the batch
+    maximum trip count of one vmapped ``while_loop`` (the "convoy"
+    problem). The per-lane gradient-based scaling factors are part of the
+    state so a gathered lane resumes bit-identically.
+    """
+
+    zv: jnp.ndarray
+    s: jnp.ndarray
+    y: jnp.ndarray
+    w: jnp.ndarray
+    mu_b: jnp.ndarray
+    delta: jnp.ndarray   # last successful regularization
+    it: jnp.ndarray
+    done: jnp.ndarray
+    acc_it: jnp.ndarray  # consecutive iterations at acceptable level
+    # watchdog: best iterate seen so far (by mu=0 KKT error) — the
+    # dual chatter near degenerate contacts must never lose it
+    best_zv: jnp.ndarray
+    best_s: jnp.ndarray
+    best_y: jnp.ndarray
+    best_w: jnp.ndarray
+    best_err: jnp.ndarray
+    best_viol: jnp.ndarray  # unscaled violation of the best iterate
+    # per-lane problem scaling, fixed at init (Ipopt's scheme)
+    sf: jnp.ndarray      # () objective scale
+    scE: jnp.ndarray     # (mE,) equality row scales
+    scD: jnp.ndarray     # (mD,) dense-inequality row scales
+
+
 def _row_scales(J, g_max):
     m = jnp.max(jnp.abs(J), axis=-1)
     return jnp.minimum(1.0, g_max / jnp.maximum(m, 1e-12))
@@ -279,17 +313,8 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
     jac_E = jax.jacrev(cE_flat)
     jac_I_dense = jax.jacrev(cI_dense_flat)
 
-    def solve(z0_pytree, params):
-        # TPU MXU truncates f32 matmuls to bf16 by default; Newton-KKT
-        # directions need multi-pass accumulation or the iteration stalls.
-        with jax.default_matmul_precision(opt.matmul_precision):
-            return _solve(z0_pytree, params)
-
-    def _solve(z0_pytree, params):
-        z0 = ravel_pytree(z0_pytree)[0] / d_scale
-        dtype = z0.dtype
-
-        # ---- identity-row structure (empty when ineq_id not given)
+    def _ident(params, dtype):
+        """Identity-row structure (empty when ineq_id not given)."""
         if sgn_off_fn is None:
             sgn_eff = jnp.zeros((0,), dtype)
             id_off = jnp.zeros((0,), dtype)
@@ -297,20 +322,57 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             sgn_raw, id_off = sgn_off_fn(params)
             # Jacobian of sgn * (zv * d_scale)[idx] wrt the scaled zv
             sgn_eff = sgn_raw.astype(dtype) * d_scale[id_idx]
+        return sgn_eff, id_off
+
+    def init_fn(z0_pytree, params):
+        """Initial :class:`IPMState` (scaling fixed at z0, Ipopt-style)."""
+        with jax.default_matmul_precision(opt.matmul_precision):
+            z0 = ravel_pytree(z0_pytree)[0] / d_scale
+            dtype = z0.dtype
+            sgn_eff, id_off = _ident(params, dtype)
+
+            # ---- gradient-based scaling at z0 (Ipopt's scheme). Identity
+            # rows keep scale 1 (single entries, all well under g_max).
+            g0 = grad_f(z0, params)
+            JE0 = jac_E(z0, params)
+            JD0 = jac_I_dense(z0, params)
+            sf = jnp.minimum(
+                1.0, opt.g_max / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-12))
+            scE = _row_scales(JE0, opt.g_max)
+            scD = _row_scales(JD0, opt.g_max)
+            mE = JE0.shape[0]
+
+            # ---- initialization (ineq duals start at <= 1, Ipopt-style)
+            cI0 = jnp.concatenate([
+                sgn_eff * z0[id_idx] + id_off,
+                scD * cI_dense_flat(z0, params),
+            ])
+            s0 = jnp.maximum(cI0, opt.s_init)
+            mu_b0 = jnp.asarray(opt.mu0, dtype)
+            w0 = jnp.clip(mu_b0 / s0, 1e-8, 1.0)
+            y0 = jnp.zeros((mE,), dtype)
+            return IPMState(
+                z0, s0, y0, w0, mu_b0,
+                jnp.asarray(opt.delta0, dtype), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                z0, s0, y0, w0, jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(jnp.inf, dtype),
+                sf, scE, scD,
+            )
+
+    def _make_body(params, sf, scE, scD, dtype):
+        """The Newton-KKT iteration body as a pure function of IPMState.
+
+        All problem closures are rebuilt from the state's per-lane scale
+        factors + params, so the body is identical whether it runs inside
+        one long ``while_loop`` (``solve``) or in compacted chunks
+        (``iterate``)."""
+        sgn_eff, id_off = _ident(params, dtype)
+        mE, mD = scE.shape[0], scD.shape[0]
+        mI = m_id + mD
 
         def cI_id(zv):
             return sgn_eff * zv[id_idx] + id_off
-
-        # ---- gradient-based scaling at z0 (Ipopt's scheme). Identity
-        # rows keep scale 1 (single entries, all well under g_max).
-        g0 = grad_f(z0, params)
-        JE0 = jac_E(z0, params)
-        JD0 = jac_I_dense(z0, params)
-        sf = jnp.minimum(1.0, opt.g_max / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-12))
-        scE = _row_scales(JE0, opt.g_max)
-        scD = _row_scales(JD0, opt.g_max)
-        mE, mD = JE0.shape[0], JD0.shape[0]
-        mI = m_id + mD
 
         def fs(zv):
             return sf * f_flat(zv, params)
@@ -372,13 +434,6 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                          q_idx_np[:, None, :]].set(Hqq)
                 return H
 
-        # ---- initialization (inequality duals start at <= 1, Ipopt-style)
-        cI0 = cIs(z0)
-        s0 = jnp.maximum(cI0, opt.s_init)
-        mu_b0 = jnp.asarray(opt.mu0, dtype)
-        w0 = jnp.clip(mu_b0 / s0, 1e-8, 1.0)
-        y0 = jnp.zeros((mE,), dtype)
-
         def barrier_obj(zv, s, mu_b):
             return fs(zv) - mu_b * jnp.sum(jnp.log(s))
 
@@ -405,29 +460,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 ),
             )
 
-        class State(NamedTuple):
-            zv: jnp.ndarray
-            s: jnp.ndarray
-            y: jnp.ndarray
-            w: jnp.ndarray
-            mu_b: jnp.ndarray
-            delta: jnp.ndarray   # last successful regularization
-            it: jnp.ndarray
-            done: jnp.ndarray
-            acc_it: jnp.ndarray  # consecutive iterations at acceptable level
-            # watchdog: best iterate seen so far (by mu=0 KKT error) — the
-            # dual chatter near degenerate contacts must never lose it
-            best_zv: jnp.ndarray
-            best_s: jnp.ndarray
-            best_y: jnp.ndarray
-            best_w: jnp.ndarray
-            best_err: jnp.ndarray
-            best_viol: jnp.ndarray  # unscaled violation of the best iterate
-
-        def cond(st: State):
-            return jnp.logical_and(st.it < opt.max_iters, ~st.done)
-
-        def body(st: State):
+        def body(st: IPMState):
             zv, s, y, w = st.zv, st.s, st.y, st.w
 
             # ---- ONE evaluation set per iterate (grad + Jacobians +
@@ -504,7 +537,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 # are exactly zero (the coloring invariant) and (b) every
                 # dense constraint row touches at most ONE dual block
                 # plus the spine, so J^T D J has the same sparsity (see
-                # test_arrow_structured_matches_dense_al_chol).
+                # tests/test_solver.py::test_arrow_kkt_matches_dense_al_chol).
                 n_p = p_idx_np.shape[0]
                 w_d = w[m_id:]
 
@@ -677,9 +710,9 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                     wm=jnp.max(w_n),
                 )
 
-            return State(zv_n, s_n, y_n, w_n, mu_b, delta_n, st.it + 1, done,
-                         acc_it, best_zv, best_s, best_y, best_w, best_err,
-                         best_viol)
+            return IPMState(zv_n, s_n, y_n, w_n, mu_b, delta_n, st.it + 1,
+                            done, acc_it, best_zv, best_s, best_y, best_w,
+                            best_err, best_viol, sf, scE, scD)
 
         def _dense_kkt(zv, y, w, s, sigma, JE, JD, cE, cI, mu_b,
                        rhs1, rhs2, ladder, dd):
@@ -834,43 +867,61 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                          "arrow": kkt_solve_arrow}[kkt_mode]
             return jax.vmap(kkt_solve)(ladder)
 
-        st0 = State(
-            z0, s0, y0, w0, mu_b0,
-            jnp.asarray(opt.delta0, dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), jnp.asarray(0, jnp.int32),
-            z0, s0, y0, w0, jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(jnp.inf, dtype),
-        )
-        st = jax.lax.while_loop(cond, body, st0)
+        return body
 
-        # report the watchdog's best iterate, Ipopt "acceptable level" rules
-        zv, s, y, w, err = st.best_zv, st.best_s, st.best_y, st.best_w, st.best_err
-        cE_u = cE_flat(zv, params)
-        cI_u = cI_flat(zv, params)
-        viol = jnp.maximum(
-            jnp.max(jnp.abs(cE_u)), jnp.maximum(0.0, -jnp.min(cI_u))
-        )
-        converged = err <= opt.tol
-        acceptable = err <= opt.acceptable_tol
-        # IPOPT's two-level acceptance: full success at (tol, feas_tol),
-        # else "Solved To Acceptable Level" at (acceptable_tol,
-        # acceptable_viol_tol) — the reference treats both as feas=True
-        # (src/obca.py:1052-1056, IPOPT acceptable_constr_viol_tol).
-        feas = jnp.logical_or(
-            jnp.logical_and(converged, viol <= opt.feas_tol),
-            jnp.logical_and(acceptable, viol <= opt.acceptable_viol_tol),
-        )
-        return IPMResult(
-            z=unravel(zv * d_scale),
-            s=s,
-            y=y,
-            w=w,
-            f=f_flat(zv, params),
-            kkt_err=err,
-            viol=viol,
-            iters=st.it,
-            converged=converged,
-            feas=feas,
-        )
+    def iterate_fn(st: IPMState, params, it_cap):
+        """Run Newton iterations until convergence or ``st.it == it_cap``
+        (a *traced* scalar — one compile serves every chunk boundary).
+        The global ``opt.max_iters`` still bounds the total."""
+        with jax.default_matmul_precision(opt.matmul_precision):
+            body = _make_body(params, st.sf, st.scE, st.scD, st.zv.dtype)
+            cap = jnp.minimum(jnp.asarray(it_cap, jnp.int32), opt.max_iters)
 
+            def cond(s_: IPMState):
+                return jnp.logical_and(s_.it < cap, ~s_.done)
+
+            return jax.lax.while_loop(cond, body, st)
+
+    def finalize_fn(st: IPMState, params) -> IPMResult:
+        """Report the watchdog's best iterate, Ipopt acceptable-level rules."""
+        with jax.default_matmul_precision(opt.matmul_precision):
+            zv, s, y, w, err = (st.best_zv, st.best_s, st.best_y, st.best_w,
+                                st.best_err)
+            cE_u = cE_flat(zv, params)
+            cI_u = cI_flat(zv, params)
+            viol = jnp.maximum(
+                jnp.max(jnp.abs(cE_u)), jnp.maximum(0.0, -jnp.min(cI_u))
+            )
+            converged = err <= opt.tol
+            acceptable = err <= opt.acceptable_tol
+            # IPOPT's two-level acceptance: full success at (tol, feas_tol),
+            # else "Solved To Acceptable Level" at (acceptable_tol,
+            # acceptable_viol_tol) — the reference treats both as feas=True
+            # (src/obca.py:1052-1056, IPOPT acceptable_constr_viol_tol).
+            feas = jnp.logical_or(
+                jnp.logical_and(converged, viol <= opt.feas_tol),
+                jnp.logical_and(acceptable, viol <= opt.acceptable_viol_tol),
+            )
+            return IPMResult(
+                z=unravel(zv * d_scale),
+                s=s,
+                y=y,
+                w=w,
+                f=f_flat(zv, params),
+                kkt_err=err,
+                viol=viol,
+                iters=st.it,
+                converged=converged,
+                feas=feas,
+            )
+
+    def solve(z0_pytree, params):
+        st = init_fn(z0_pytree, params)
+        st = iterate_fn(st, params, opt.max_iters)
+        return finalize_fn(st, params)
+
+    # chunked-iteration API for compacted batch drivers (solver/compact.py)
+    solve.init = init_fn
+    solve.iterate = iterate_fn
+    solve.finalize = finalize_fn
     return solve
