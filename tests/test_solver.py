@@ -177,3 +177,49 @@ def test_arrow_kkt_matches_dense_al_chol(demo1_window_problem):
         np.asarray(ra.z["x"]), np.asarray(rd.z["x"]), rtol=1e-6, atol=1e-6
     )
     assert int(ra.iters) == int(rd.iters)
+
+
+@pytest.mark.parametrize("variant", ["free", "fix_terminal"])
+def test_spine_coloring_matches_full(demo1_window_problem, variant):
+    """Grouped spine probes (models/obca.py hessian_spine_probes: one
+    summed probe per structurally-orthogonal column set, 3.4x fewer HVPs)
+    must reproduce the per-column probe Hessian exactly — same Newton
+    systems, same iterates. A missing entry in the static pattern would
+    diverge the iterate sequence immediately."""
+    spec0, data0 = demo1_window_problem
+    import dataclasses
+
+    spec = dataclasses.replace(spec0, variant=variant)
+    data = data0  # the same data tensor serves both variants
+    s_grp = make_obca_solver(spec, IPMOptions(kkt="arrow"))
+    s_col = make_obca_solver(
+        spec, IPMOptions(kkt="arrow", spine_coloring=False))
+    rg = jax.jit(s_grp)(data)
+    rc = jax.jit(s_col)(data)
+    assert int(rg.iters) == int(rc.iters)
+    np.testing.assert_allclose(
+        np.asarray(rg.z["x"]), np.asarray(rc.z["x"]), rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(rg.kkt_err), float(rc.kkt_err), rtol=1e-6, atol=1e-12
+    )
+
+
+def test_spine_coloring_matches_full_coupled_motion(demo1_window_problem):
+    """coupled_motion adds the (T, lambda) Hessian coupling — exercised
+    through the T-probe Hpq slice of the grouped pattern."""
+    spec0, data = demo1_window_problem
+    import dataclasses
+
+    spec = dataclasses.replace(spec0, coupled_motion=True)
+    data = data._replace(
+        obs_vel=jnp.ones_like(data.obs_vel) * 0.05)
+    s_grp = make_obca_solver(spec, IPMOptions(kkt="arrow"))
+    s_col = make_obca_solver(
+        spec, IPMOptions(kkt="arrow", spine_coloring=False))
+    rg = jax.jit(s_grp)(data)
+    rc = jax.jit(s_col)(data)
+    assert int(rg.iters) == int(rc.iters)
+    np.testing.assert_allclose(
+        np.asarray(rg.z["x"]), np.asarray(rc.z["x"]), rtol=1e-9, atol=1e-10
+    )

@@ -432,6 +432,124 @@ def arrow_layout(spec: OBCASpec):
     return np.concatenate([lam_idx, mu_idx], axis=1).astype(np.int64)
 
 
+def hessian_spine_probes(spec: OBCASpec):
+    """Grouped (star-colored) HVP probes for the *spine* block of the
+    Lagrangian Hessian, plus the static gather/scatter maps that
+    reassemble the arrow pieces from the probe outputs.
+
+    Structure exploited (why summed probes are exact): the only
+    nonlinearities are the unicycle dynamics ``dt*u*cos/sin(theta_k)``
+    (src/obca.py:905-910 in the reference), the OBCA bilinear terms
+    (block-local), and the free-time couplings through ``dt = T*Ts`` —
+    so distinct horizon steps NEVER couple in the spine Hessian except
+    through (a) the R2 acceleration band ``(u_t - u_{t-1})`` (distance-1
+    in t) and (b) the dense T row/column. Hence:
+
+      * one probe per state slot (all x_t / all y_t / all theta_t summed),
+      * three probes per input slot (v_t, w_t by t mod 3 — the band),
+      * one singleton probe for T (its whole row/col read directly).
+
+    That is 9 + free probes instead of one per spine column (34 at N=5,
+    54 at N=10) — the dominant per-iteration cost at small horizons.
+
+    Returns a dict:
+      probes:   (C, n) float64 — spine probe matrix (model knows n),
+      scatter:  (M, 4) int — (dest_row_pos, dest_col_pos, probe, src_flat)
+                quadruples with Hpp[r, c] = HV[probe][src_flat],
+      pq_pos:   (S, K) int — spine position adjacent to each dual block
+                per slot-group (x, y, theta[, T]),
+      pq_group: (S,) int — the probe recovering that Hpq slice,
+      p_idx:    (np,) int — the spine layout these maps assume (the
+                solver asserts it matches its own arrow complement).
+    """
+    import numpy as np
+
+    N, nO, E = spec.N, spec.n_obs, spec.e_max
+    free = spec.free_time
+    base_lam = 1 if free else 0
+    base_mu = base_lam + spec.n_k * nO * E
+    base_u = base_mu + spec.n_k * nO * 4
+    base_x = base_u + 2 * N
+    n = base_x + 3 * (N + 1)
+
+    def u_flat(i, t):
+        return base_u + i * N + t
+
+    def x_flat(i, t):
+        return base_x + i * (N + 1) + t
+
+    p_list = ([0] if free else []) + list(range(base_u, base_x)) + list(
+        range(base_x, n))
+    pos = {f: i for i, f in enumerate(p_list)}
+
+    groups = []
+    g_of = {}
+
+    def new_group(cols):
+        for c in cols:
+            g_of[c] = len(groups)
+        groups.append(cols)
+
+    for i in range(3):                      # g0=x, g1=y, g2=theta
+        new_group([x_flat(i, t) for t in range(N + 1)])
+    for i in range(2):                      # v, w: 3 colors each (R2 band)
+        for m in range(3):
+            new_group([u_flat(i, t) for t in range(N) if t % 3 == m])
+    if free:
+        new_group([0])                      # T: singleton, full row/col
+
+    probes = np.zeros((len(groups), n))
+    for g, cols in enumerate(groups):
+        probes[g, cols] = 1.0
+
+    quads = []
+
+    def add(a, b):
+        """Structural spine nonzero H[a, b] (neither is T): recovered
+        from the probe containing b at row a (unambiguous: b is the only
+        column of its group adjacent to a), mirrored by symmetry."""
+        quads.append((pos[a], pos[b], g_of[b], a))
+        quads.append((pos[b], pos[a], g_of[b], a))
+
+    for t in range(N + 1):
+        xs = [x_flat(i, t) for i in range(3)]
+        for i in range(3):                  # Q/P same-step clique
+            for j in range(i, 3):
+                add(xs[i], xs[j])
+        if t < N:
+            add(xs[2], u_flat(0, t))        # dynamics (theta_t, v_t)
+    for t in range(N):                      # R1/R2: same-step + band
+        for i in range(2):
+            for j in range(2):
+                if j >= i:
+                    add(u_flat(i, t), u_flat(j, t))
+                if t + 1 < N:
+                    add(u_flat(i, t), u_flat(j, t + 1))
+    if free:
+        gT = g_of[0]
+        for p in p_list:                    # T row/col, incl. (T, T)
+            quads.append((pos[p], pos[0], gT, p))
+            if p != 0:
+                quads.append((pos[0], pos[p], gT, p))
+
+    K = spec.n_k * nO
+    ks = spec.k_lo + np.arange(K) // nO     # block -> horizon step
+    pq_pos = [[pos[x_flat(i, k)] for k in ks] for i in range(3)]
+    pq_group = [0, 1, 2]
+    if free:
+        # exact for coupled_motion's (T, lam) coupling, zero otherwise
+        pq_pos.append([pos[0]] * K)
+        pq_group.append(g_of[0])
+
+    return {
+        "probes": probes,
+        "scatter": np.asarray(quads, dtype=np.int64),
+        "pq_pos": np.asarray(pq_pos, dtype=np.int64),
+        "pq_group": np.asarray(pq_group, dtype=np.int64),
+        "p_idx": np.asarray(p_list, dtype=np.int64),
+    }
+
+
 def ineq_identity_sgn_off(spec: OBCASpec, data: OBCAData):
     """(sgn, off) for the identity inequality rows, same order as
     :func:`ineq_identity_layout`. Masked dual rows get sgn = 0, off = 1

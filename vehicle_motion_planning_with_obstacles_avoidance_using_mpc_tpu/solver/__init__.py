@@ -45,6 +45,7 @@ def make_obca_solver(spec: OBCASpec, options: IPMOptions = IPMOptions(),
         f_fn, cE_fn, cI_fn, z_example, options, z_scale=z_scale,
         ineq_id=(_obca.ineq_identity_layout(spec), sgn_off_fn, cI_dense_fn),
         arrow=_obca.arrow_layout(spec),
+        spine=_obca.hessian_spine_probes(spec),
     )
 
     def solve(data: OBCAData, z0=None):

@@ -129,6 +129,12 @@ class IPMOptions:
     # the exact Hessian in n_spine + bq (= 62) HVPs instead of n (= 534)
     # — measured 7.0 -> ~1 ms of the IPM iteration at batch 256.
     hessian_coloring: bool = True
+    # Use the model-declared *grouped* spine coloring (one summed probe
+    # per structurally-orthogonal column set — models/obca.py
+    # hessian_spine_probes) instead of one probe per spine column:
+    # 18 HVPs instead of 62 at N = 10. Only active when the problem
+    # passes ``spine=`` to build_solver and the arrow path is structured.
+    spine_coloring: bool = True
     debug: bool = False          # per-iteration jax.debug.print trace
 
 
@@ -218,9 +224,33 @@ def _chol_inv_small(A):
     return jnp.einsum("...ki,...kj->...ij", Linv, Linv)
 
 
+# Above this size, the unrolled inverse is counterproductive: it emits
+# O(m^2) tiny sequential HLO ops (a 54-spine unrolls to ~2900 — latency-
+# and compile-pathological on TPU, and numerically weaker than a blocked
+# Cholesky; flagged by the round-2 advisor). The XLA path below keeps the
+# explicit-inverse property (every later solve is a matvec) via one
+# batched Cholesky + one multi-rhs triangular solve.
+_UNROLL_LIMIT = 16
+
+
+def _spd_inv(A):
+    """Inverse of batched SPD blocks: unrolled for tiny blocks (the
+    (K, 8, 8) dual blocks), blocked XLA Cholesky + triangular inverse for
+    the spine Schur complement. Non-SPD inputs yield NaN either way —
+    the ladder-rejection signal."""
+    m = A.shape[-1]
+    if m <= _UNROLL_LIMIT:
+        return _chol_inv_small(A)
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), A.shape)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True)
+    return jnp.einsum("...ki,...kj->...ij", Linv, Linv)
+
+
 def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                  z_example, options: IPMOptions = IPMOptions(),
-                 z_scale=None, ineq_id=None, arrow=None):
+                 z_scale=None, ineq_id=None, arrow=None, spine=None):
     """Compile-time construction of a solver for one problem family.
 
     f_fn/cE_fn/cI_fn: (z_pytree, params) -> scalar / (mE,) / (mI,).
@@ -296,6 +326,23 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             probes_np[_n_p + _j, q_idx_np[:, _j]] = 1.0
     else:
         probes_np = None
+
+    # grouped spine coloring (see IPMOptions.spine_coloring): spine group
+    # probes + the bq block-slot probes, with the model's static scatter
+    # maps for reassembling (Hpp, Hpq, Hqq) from the probe outputs
+    use_spine = (spine is not None and arrow_structured
+                 and opt.spine_coloring)
+    if use_spine:
+        assert np.array_equal(np.asarray(spine["p_idx"]), p_idx_np), \
+            "spine pattern layout disagrees with the arrow complement"
+        _C_s = spine["probes"].shape[0]
+        sp_probes_np = np.zeros((_C_s + _bq, n), dtype=np.float64)
+        sp_probes_np[:_C_s] = spine["probes"]
+        for _j in range(_bq):
+            sp_probes_np[_C_s + _j, q_idx_np[:, _j]] = 1.0
+        sp_scat_np = np.asarray(spine["scatter"], dtype=np.int64)
+        sp_pq_pos_np = np.asarray(spine["pq_pos"], dtype=np.int64)
+        sp_pq_group_np = np.asarray(spine["pq_group"], dtype=np.int64)
 
     def f_flat(zv, params):
         return f_fn(unravel(zv * d_scale), params)
@@ -546,11 +593,28 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                         lambda z_: jax.grad(lag)(z_, y, w_d), (zv,), (v,)
                     )[1]
 
-                HV = jax.vmap(hvp)(probes)                   # (np+bq, n)
-                Hp = HV[:n_p]                                # (np, n)
-                Hpp = Hp[:, p_idx_np]
-                Hpq = Hp[:, q_idx_np]                        # (np, K, bq)
-                Hqq = jnp.transpose(HV[n_p:][:, q_idx_np], (1, 2, 0))
+                if use_spine:
+                    # grouped probes: C_s spine groups + bq block slots —
+                    # static scatter maps reassemble the exact arrow
+                    # pieces (tests: test_spine_coloring_matches_full)
+                    HV = jax.vmap(hvp)(jnp.asarray(sp_probes_np, dtype))
+                    HVs = HV[:_C_s]
+                    Hqq = jnp.transpose(HV[_C_s:][:, q_idx_np], (1, 2, 0))
+                    Hpp = jnp.zeros((n_p, n_p), dtype).at[
+                        sp_scat_np[:, 0], sp_scat_np[:, 1]].set(
+                        HVs[sp_scat_np[:, 2], sp_scat_np[:, 3]])
+                    K_ = q_idx_np.shape[0]
+                    Hpq = jnp.zeros((n_p, K_, q_idx_np.shape[1]), dtype)
+                    for s_ in range(sp_pq_pos_np.shape[0]):
+                        Hpq = Hpq.at[sp_pq_pos_np[s_],
+                                     jnp.arange(K_), :].set(
+                            HVs[sp_pq_group_np[s_]][q_idx_np])
+                else:
+                    HV = jax.vmap(hvp)(probes)               # (np+bq, n)
+                    Hp = HV[:n_p]                            # (np, n)
+                    Hpp = Hp[:, p_idx_np]
+                    Hpq = Hp[:, q_idx_np]                    # (np, K, bq)
+                    Hqq = jnp.transpose(HV[n_p:][:, q_idx_np], (1, 2, 0))
 
                 diag_n = jnp.zeros((n,), dtype).at[id_idx].add(
                     sgn_eff * sgn_eff * sigma[:m_id])
@@ -594,8 +658,10 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                     Yq = jnp.einsum("kbc,kcp->kbp", Qinv, Gqp)
                     S = Gpp - jnp.einsum("pkb,kbq->pq", Gpq0, Yq)
                     # explicit spine inverse: every later solve is a
-                    # matvec — no serial triangular substitution
-                    Sinv = _chol_inv_small(S)
+                    # matvec — no serial triangular substitution.
+                    # _spd_inv routes spines above _UNROLL_LIMIT through
+                    # the blocked XLA Cholesky (accuracy + compile size).
+                    Sinv = _spd_inv(S)
 
                     def gsolve(bp, bq_):
                         wq = jnp.einsum("kbc,kc->kb", Qinv, bq_)
