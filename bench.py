@@ -5,14 +5,24 @@ Mirrors the reference's benchmark path ``simulation.calc_time``
 N = 10, which the reference solves in 3.69 s per call on CPU via
 CasADi+IPOPT (src/simulation.py:231 comment). Here the same problem
 family (demo9 world, N = 10, free-time variant, windowed references at
-B points along the A* path) is solved as one vmapped batch per device
-call; the metric is aggregate solves/s.
+B points along the A* path) is solved as a compacted batch (iteration
+chunks + gather of unconverged lanes, solver/compact.py) so a lane pays
+only its own iterations instead of the batch maximum; the metric is
+aggregate solves/s.
+
+Also measured: the *fix-time* variant (fixed Ts + moving sensed obstacle
++ terminal set — the actual closed-loop hot path, 23-30 of 30 steps on
+most demos; reference ``obca_mpc6`` src/obca.py:1361-1562) and the
+single-scenario replan latency at N = 5.
 
 ``vs_baseline`` = our per-solve rate / the reference's (1 / 3.69 s).
+FLOP/MFU numbers are trip-count corrected: XLA's cost model counts a
+``while_loop`` body once, so the body cost is scaled by the actually
+dispatched lane-iterations reported by the compacted driver.
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
-Env overrides: BENCH_BATCH (default 256), BENCH_REPS (default 3),
-BENCH_ITERS (default 100).
+Env overrides: BENCH_BATCH (256), BENCH_REPS (3), BENCH_ITERS (100),
+BENCH_CHUNK (24), BENCH_MINBUCKET (B//4), BENCH_COMPACT (1).
 """
 
 import json
@@ -29,13 +39,16 @@ def main():
     import jax
 
     # Host-side problem building stays on CPU; the accelerator only sees
-    # the one batched solve (remote-TPU compiles are ~30 s per shape, so
-    # keep it to a single jitted call).
+    # the batched solves (remote-TPU compiles are ~30 s per shape).
     plats = os.environ.get("JAX_PLATFORMS", "")
     accel = None
     if "axon" in plats:
         jax.config.update("jax_platforms", "cpu,axon")
         accel = "axon"
+    else:
+        # sitecustomize preloads the axon backend regardless of later env
+        # vars — override the already-imported config (conftest pattern)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -58,15 +71,22 @@ def main():
         IPMOptions,
         make_obca_solver,
     )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.solver.compact import (
+        solve_compacted,
+    )
 
     B = int(os.environ.get("BENCH_BATCH", "256"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "100"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "24"))
+    min_bucket = int(os.environ.get("BENCH_MINBUCKET", str(max(B // 4, 8))))
+    compact = os.environ.get("BENCH_COMPACT", "1") == "1"
     N = 10
     BASELINE_S = 3.69  # reference per-solve wall time, src/simulation.py:231
 
     dev = (jax.devices(accel) if accel else jax.devices())[0]
-    log(f"device: {dev}  batch={B} reps={reps} iters={iters}")
+    log(f"device: {dev}  batch={B} reps={reps} iters={iters} "
+        f"compact={compact} chunk={chunk} min_bucket={min_bucket}")
 
     dtype = jnp.float32
     demo = get_demo("demo9")
@@ -97,61 +117,148 @@ def main():
     # just burns the full iteration budget on already-solved instances.
     # n_deltas=1: free-time problems never need the ladder (feasible
     # fraction stays 1.0) and it is ~25% faster than the robust default.
-    solve = make_obca_solver(spec, IPMOptions(
+    opt = IPMOptions(
         max_iters=iters, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3,
         n_deltas=1,
-    ))
-    vsolve = jax.jit(jax.vmap(solve), device=dev)
+    )
+    solve = make_obca_solver(spec, opt)
 
     datab = jax.device_put(datab, dev)
     z0b = jax.device_put(z0b, dev)
 
-    def run_once(z0):
-        # On the remote-TPU (axon) backend block_until_ready returns
-        # before execution completes; force a (tiny) device->host
-        # transfer so the timing is honest.
-        r = vsolve(datab, z0)
-        return float(np.sum(np.asarray(r.iters))), r
+    def run_throughput(data_in, z0_in, sol, label):
+        """Compile + warm, then timed reps. Returns (t, res, stats)."""
+        if compact:
+            runner = lambda z: solve_compacted(
+                sol, data_in, z, chunk=chunk, min_bucket=min_bucket,
+                max_iters=iters, device=dev)
+        else:
+            vsolve = jax.jit(jax.vmap(sol), device=dev)
 
-    t0 = time.time()
-    _, res = run_once(z0b)
-    log(f"compile+first run: {time.time() - t0:.1f} s")
-    # diagnostics in host numpy — every jnp op on device results would be
-    # a fresh ~30 s compile over the remote-TPU tunnel
-    feas_frac = float(np.mean(np.asarray(res.feas)))
-    it = np.asarray(res.iters)
-    log(f"feasible fraction: {feas_frac:.3f}  median iters: "
-        f"{np.median(it):.0f}  p90: {np.percentile(it, 90):.0f}  "
-        f"max: {it.max()}  (batch pays max: vmapped while_loop)")
+            def runner(z):
+                r = vsolve(data_in, z)
+                it = np.asarray(r.iters)
+                return r, {"dispatched_lane_iters": int(it.max()) * B,
+                           "lane_iters": int(it.sum()), "calls": 1}
 
-    # analytic FLOP/MFU accounting (VERDICT r1 item 3): XLA's own cost
-    # model for the whole batched solve, utilization against the v5e
-    # bf16 MXU peak (197 TFLOP/s; f32 'highest' emulation pays 6 bf16
-    # passes per matmul, already counted by the cost model as f32 flops)
-    flops = None
+        t0 = time.time()
+        res, stats = runner(z0_in)
+        _ = float(np.asarray(res.iters).sum())
+        log(f"[{label}] compile+first: {time.time() - t0:.1f} s  "
+            f"stats={stats}")
+        it = np.asarray(res.iters)
+        feas_frac = float(np.mean(np.asarray(res.feas)))
+        log(f"[{label}] feasible fraction: {feas_frac:.3f}  median iters: "
+            f"{np.median(it):.0f}  p90: {np.percentile(it, 90):.0f}  "
+            f"max: {it.max()}  convoy-free work: "
+            f"{stats['lane_iters']}/{stats['dispatched_lane_iters']} "
+            f"lane-iters dispatched")
+        times = []
+        for i in range(reps):
+            # perturb the start so no two timed calls are identical (the
+            # remote backend memoizes repeated pure executions)
+            zp = jax.device_put(jax.tree.map(
+                lambda a: a * (1.0 + 1e-5 * (i + 1)), z0_in), dev)
+            t0 = time.time()
+            res, stats = runner(zp)
+            _ = float(np.asarray(res.iters).sum())
+            times.append(time.time() - t0)
+        t = min(times)
+        log(f"[{label}] times: {[f'{x:.3f}' for x in times]} "
+            f"-> {B / t:.1f} solves/s")
+        return t, res, stats, feas_frac
+
+    t, res, stats, feas_frac = run_throughput(datab, z0b, solve, "free N=10")
+
+    solves_per_s = B / t
+
+    # ---- trip-count-corrected FLOP / MFU accounting ----------------------
+    # cost_analysis on the chunked iterate counts its while_loop body ~once;
+    # scale by the dispatched lane-iterations the driver actually ran.
+    flops_per_lane_iter = None
     try:
-        lowered = jax.jit(jax.vmap(solve)).lower(datab, z0b)
-        ca = lowered.compile().cost_analysis()
+        st0 = jax.jit(jax.vmap(solve.init), device=dev)(datab, z0b)
+        viter = jax.jit(jax.vmap(solve.iterate, in_axes=(0, 0, None)),
+                        device=dev)
+        ca = viter.lower(st0, datab, 1).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
+        body_flops = float(ca.get("flops", 0.0))
+        if body_flops > 0:
+            flops_per_lane_iter = body_flops / B
+            log(f"one-iteration flops/lane: {flops_per_lane_iter/1e6:.2f} M")
     except Exception as e:  # cost model unavailable over the tunnel
         log(f"cost_analysis unavailable: {e}")
 
-    times = []
-    for i in range(reps):
-        # perturb the start so no two timed calls are identical (the
-        # remote backend memoizes repeated pure executions)
-        z0p = jax.device_put(
-            jax.tree.map(lambda a: a * (1.0 + 1e-5 * (i + 1)), z0b), dev)
-        t0 = time.time()
-        _, res = run_once(z0p)
-        times.append(time.time() - t0)
-    t = min(times)
-    solves_per_s = B / t
-    log(f"times: {[f'{x:.3f}' for x in times]}  -> {solves_per_s:.1f} solves/s")
+    extra = {}
+    if flops_per_lane_iter is not None:
+        total_flops = flops_per_lane_iter * stats["dispatched_lane_iters"]
+        extra = {
+            "gflops_per_batch": round(total_flops / 1e9, 2),
+            # v5e bf16 MXU peak 197 TFLOP/s; f32 'highest' emulation pays
+            # ~6 bf16 passes per f32 matmul (not counted by the cost
+            # model, so true MXU occupancy is higher than this number)
+            "mfu_vs_bf16_peak": round(total_flops / t / 197e12, 5),
+            "dispatched_lane_iters": stats["dispatched_lane_iters"],
+            "useful_lane_iters": stats["lane_iters"],
+        }
 
-    # --- closed-loop replan latency at N = 5 (BASELINE.json metric #2) ---
+    # ---- fix-time variant (the closed-loop hot path) ---------------------
+    # demo1 world at N = 5 with the crossing obstacle sensed mid-crossing
+    # and the per-demo terminal-set policy — the NLP family the closed
+    # loop solves on 23-30 of its 30 steps (reference obca_mpc6,
+    # src/obca.py:1361-1562).
+    demo1 = get_demo("demo1")
+    p1 = demo1.params
+    scn1, shape1 = build_scenario(demo1, dtype=dtype)
+    N5 = 5
+    spec_fix = OBCASpec(N=N5, n_obs=shape1.n_obs, e_max=shape1.e_max,
+                        variant="fix_terminal")
+    ref1 = astar_host.reference_path_for(
+        np.asarray(scn1.grid), demo1.start, demo1.goal)
+    L1 = ref1.shape[1]
+    ref1j = jnp.asarray(ref1, dtype)
+    starts1 = np.sort(rng.randint(2, L1 - 2, size=B))
+    x0s1 = np.asarray(ref1[:, starts1]).T                       # (B, 3)
+    tsets = np.stack([demo1.terminal_policy.resolve(x)
+                      for x in x0s1]).astype(np.float32)        # (B, 2, 2)
+    # The closed loop reaches fix-time mode with Ts grown to ~1.7 s by
+    # the free-time Ts_opt feedback (goldens: ts median 1.7 on fix
+    # steps); at the raw Ts = 0.1 the x0+5 terminal set would be
+    # kinematically unreachable in 5 steps and every lane infeasible.
+    Ts_fix = 1.7
+    # obstacle mid-crossing at a lane-dependent phase, always sensed
+    nD = scn1.dyn_info.shape[0]
+    phase = (np.arange(B) % 20).astype(np.float32)[:, None, None]
+    vel = np.asarray(scn1.d_vel)[None]                          # (1, nD, 2)
+    deltas = (phase * Ts_fix * vel).astype(np.float32)          # (B, nD, 2)
+
+    def build_fix(x0, tset, delta):
+        xref = window_reference(ref1j, L1, x0, N5)
+        return build_obca_data(
+            spec_fix, scn1, x0=x0, u0=jnp.zeros(2, dtype), xref=xref,
+            Ts=Ts_fix, dyn_active=jnp.ones((nD,), dtype), dyn_delta=delta,
+            Ts_pred=Ts_fix, terminal_set=tset,
+            q=p1.q_fix, r1=p1.r1_fix, r2=p1.r2_fix,
+            v_max=p1.v_max, w_max=p1.w_max, a_max=p1.a_max,
+            alpha_max=p1.alpha_max, ego=p1.ego, dmin=p1.dmin,
+        )
+
+    datafix = jax.jit(jax.vmap(build_fix))(
+        jnp.asarray(x0s1, dtype), jnp.asarray(tsets, dtype),
+        jnp.asarray(deltas, dtype))
+    # the robust two-rung ladder: near-contact fix-time solves need it
+    # (IPMOptions.n_deltas docstring)
+    opt_fix = IPMOptions(max_iters=iters, tol=1e-4, acceptable_tol=5e-3,
+                         feas_tol=1e-3, n_deltas=2)
+    solve_fix = make_obca_solver(spec_fix, opt_fix)
+    z0fix = jax.jit(jax.vmap(lambda d: init_vars(spec_fix, d)))(datafix)
+    datafix = jax.device_put(datafix, dev)
+    z0fix = jax.device_put(z0fix, dev)
+    t_fix, res_fix, stats_fix, feas_fix = run_throughput(
+        datafix, z0fix, solve_fix, "fix N=5")
+
+    # ---- closed-loop replan latency at N = 5 (BASELINE.json metric #2) ---
     # One replan = one single-scenario jitted OBCA solve from a mid-path
     # pose, demo9 world — the per-step latency a closed loop pays
     # (reference: one serial IPOPT call, ~0.1-1 s,
@@ -161,14 +268,13 @@ def main():
         MetricsLogger,
     )
 
-    N5 = 5
     # clamp: x0s only has B entries; JAX clamps OOB gathers, which would
     # silently re-measure the last scenario and skew the quantiles
     reps_lat = min(int(os.environ.get("BENCH_LAT_REPS", "30")), B)
     spec5 = OBCASpec(N=N5, n_obs=shape.n_obs, e_max=shape.e_max,
                      variant="free")
     lat = MetricsLogger()
-    x05 = x0s[: reps_lat]
+    x05 = x0s[:reps_lat]
     xref5 = jax.vmap(lambda x0: window_reference(refj, L, x0, N5))(x05)
     data5 = jax.jit(jax.vmap(
         lambda x0, xr: build_obca_data(spec5, scn, x0=x0,
@@ -198,14 +304,6 @@ def main():
     log(f"replan N=5 latency: p50 {q['p50']:.1f} ms  p90 {q['p90']:.1f}  "
         f"p99 {q['p99']:.1f}  feas {feas5}/{reps_lat}")
 
-    extra = {}
-    if flops is not None:
-        # HLO counts one f32 flop per MAC; 'highest' emulation issues ~6
-        # bf16 MXU passes per f32 matmul, so true MXU occupancy is higher
-        extra = {
-            "hlo_gflops_per_call": round(flops / 1e9, 1),
-            "mfu_vs_bf16_peak": round(flops / t / 197e12, 4),
-        }
     print(json.dumps({
         "metric": "obca_free_time_N10_solves_per_s",
         "value": round(solves_per_s, 2),
@@ -214,6 +312,9 @@ def main():
         "feasible_fraction": round(feas_frac, 4),
         "batch": B,
         "device": str(dev),
+        "compacted": compact,
+        "fixtime_N5_solves_per_s": round(B / t_fix, 2),
+        "fixtime_N5_feasible_fraction": round(feas_fix, 4),
         "replan_N5_p50_ms": round(q["p50"], 2),
         "replan_N5_p99_ms": round(q["p99"], 2),
         "replan_N5_feasible": feas5 / reps_lat,

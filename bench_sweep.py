@@ -36,13 +36,25 @@ def log(*a):
 
 
 def main():
+    # The container's sitecustomize preloads JAX with the remote-TPU
+    # ("axon") backend in every process, so plain env vars are too late —
+    # set the virtual-device flag, then override the already-imported jax
+    # config (same pattern as tests/conftest.py).
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    accel = "axon" if "axon" in plats else None
+    if accel is None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
 
-    plats = os.environ.get("JAX_PLATFORMS", "")
-    accel = None
-    if "axon" in plats:
+    if accel:
         jax.config.update("jax_platforms", "cpu,axon")
-        accel = "axon"
+    else:
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
     import numpy as np

@@ -77,6 +77,24 @@ def test_golden_trajectory_properties(name):
     assert np.all(np.abs(u[:, 0]) <= p.v_max + 1e-6)
     assert np.all(np.abs(u[:, 1]) <= p.w_max + 1e-6)
 
+    # plant-step consistency: each recorded state must be one forward-
+    # Euler unicycle step from its predecessor under the recorded input
+    # and step duration (the closed loop's perfect-model plant,
+    # src/closed_loop.py:416-419) — an independent re-simulation of the
+    # whole run through ops.dynamics
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.ops import (
+        unicycle_step,
+    )
+
+    prev = np.concatenate([np.asarray(demo.start)[None], x[:-1]], axis=0)
+    pred = np.asarray(unicycle_step(prev, u, g["ts"]))
+    # an aborted run's final record freezes the state (no step applied)
+    n_ok = len(x) - 1 if bool(g["aborted"]) else len(x)
+    # dynamics rows are solver equalities: tight except acceptable-level
+    # rescues (acceptable_viol_tol = 1e-2)
+    np.testing.assert_allclose(pred[:n_ok], x[:n_ok], atol=1.5e-2,
+                               err_msg=f"{name}: plant step inconsistent")
+
     # map bounds (src/obca.py:916-917)
     assert np.all(x[:, 0] >= demo.x_lo[0] - 1e-6)
     assert np.all(x[:, 0] <= demo.x_hi[0] + 1e-6)
@@ -106,11 +124,21 @@ def test_golden_trajectory_properties(name):
         )
     else:
         assert not aborted, f"{name}: golden run aborted infeasible"
-        # meaningful progress toward the goal within the 30-step cap
+        # progress toward the goal within the 30-step cap, tightened to
+        # each demo's measured golden ratio + 10% margin. No demo can
+        # fully reach its goal in 30 steps (v_max = 0.6 m/s and
+        # d0 = 35-95 m make that kinematically impossible — the
+        # reference shares the same k == 30 cap, src/closed_loop.py:431);
+        # the bar is therefore "no progress regression", not arrival.
+        bars = {"demo1": 0.27, "demo2": 0.28, "demo3": 0.53,
+                "demo5": 0.25, "demo7": 0.19, "demo8": 0.18,
+                "demo9": 0.69, "demo10": 0.76, "demo11": 0.73}
         goal = np.asarray(demo.goal[:2])
         d0 = np.linalg.norm(np.asarray(demo.start[:2]) - goal)
         d_end = np.linalg.norm(x[-1, :2] - goal)
-        assert d_end < 0.75 * d0
+        assert d_end < bars.get(name, 0.75) * d0, (
+            f"{name}: d_end/d0 = {d_end / d0:.3f} regressed past "
+            f"{bars.get(name, 0.75)}")
 
 
 @pytest.mark.slow

@@ -101,3 +101,16 @@ def test_scan_vmap_shards_over_mesh():
     assert xs.shape[:2] == (B, 2)
     # identical scenarios across the batch -> identical rollouts
     np.testing.assert_allclose(xs[0], xs[1], atol=1e-9)
+
+
+def test_scan_requires_equal_horizons():
+    """The scanned loop supports only N_fix == N_free (true for every
+    shipped demo; the host driver handles the general reinterpolation).
+    The restriction must fail loudly, not silently mis-plan."""
+    import dataclasses
+
+    dtype = jnp.float64
+    demo, scn, shape, ref, L = _demo1_setup(dtype)
+    p = dataclasses.replace(default_params_for("demo1"), N_fix=4, N_free=6)
+    with pytest.raises(NotImplementedError):
+        make_scan_rollout(shape, p, max_steps=2, dtype=dtype)

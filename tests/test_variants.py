@@ -161,3 +161,52 @@ def test_obca_k0_reference_parity(demo1_world):
     np.testing.assert_allclose(sols[True][0], sols[False][0], atol=2e-3)
     np.testing.assert_allclose(sols[True][1], sols[False][1], atol=2e-3)
     assert abs(sols[True][2] - sols[False][2]) < 2e-3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("demo_name", ["demo1", "demo9"])
+def test_obca_k0_parity_fixtime_near_contact(demo_name):
+    """Widened reference-parity check for OBCASpec.obca_k0 (the case its
+    own docstring flags): *fix-time* replans at near-contact poses —
+    where the k = 0 duals are the degenerate contact multipliers. Every
+    fix-time problem a real closed-loop prefix visits is re-solved with
+    the block imposed at k = 0 like the reference (src/obca.py:968);
+    trajectories must agree within solver tolerance."""
+    import dataclasses
+
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.closed_loop import (
+        ClosedLoopRunner,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.demos import (
+        get_demo,
+    )
+
+    r = ClosedLoopRunner(get_demo(demo_name), max_steps=14,
+                         record_problems=True)
+    res = r.run()
+    assert not res.aborted_infeasible
+    probs = [p for p in r.problems
+             if p["spec"].variant in ("fix_terminal", "fix_free_end")]
+    if not probs:
+        # demo9 has no dynamic obstacle in lidar range this early: fall
+        # back to its free-time replans (still near walls -> contacts)
+        probs = r.problems[5:12]
+    checked = 0
+    for p in probs[:6]:
+        spec0 = p["spec"]
+        spec1 = dataclasses.replace(spec0, obca_k0=True)
+        opt = IPMOptions(max_iters=200, acceptable_tol=5e-3, feas_tol=1e-4)
+        res1 = make_obca_solver(spec1, opt)(
+            p["data"], init_vars(spec1, p["data"],
+                                 x_init=jnp.asarray(p["x_init"])))
+        if not bool(p["res"].feas):
+            continue
+        assert bool(res1.feas), (
+            p["k"], float(res1.kkt_err), float(res1.viol))
+        x0_ = np.asarray(p["res"].z["x"])
+        x1_ = np.asarray(res1.z["x"])
+        np.testing.assert_allclose(
+            x1_, x0_, atol=5e-3,
+            err_msg=f"{demo_name} k={p['k']} obca_k0 trajectory deviates")
+        checked += 1
+    assert checked >= 3

@@ -96,8 +96,13 @@ class ClosedLoopRunner:
     def __init__(self, demo: DemoSpec, params: MPCParams = None,
                  ipm_options: IPMOptions = None, dtype=jnp.float64,
                  max_steps: int = 30, warm_start: bool = False,
-                 metrics=None):
+                 metrics=None, record_problems: bool = False):
         self.demo = demo
+        # when set, every replan's exact NLP is kept for offline
+        # re-solving (the scipy independent-oracle parity tests):
+        # (spec, data, z0 of the winning multistart candidate, result)
+        self.record_problems = record_problems
+        self.problems = []
         # structured observability (SURVEY.md section 5): per-step replan
         # latency / iteration series + mode counters, vs the reference's
         # prints (src/closed_loop.py:402-405)
@@ -257,7 +262,8 @@ class ClosedLoopRunner:
                 cands = candidate_inits(np.asarray(xref), x0, prev_plan=prev)[:2]
                 while len(cands) < 2:
                     cands.append(cands[0])
-                res, _ = msolve(data, jnp.asarray(np.stack(cands), self.dtype))
+                res, best = msolve(
+                    data, jnp.asarray(np.stack(cands), self.dtype))
                 feas = bool(res.feas)
                 fallback = False
                 Ts_opt = float(res.z["T"]) * Ts_cur  # src/obca.py:1059
@@ -279,12 +285,13 @@ class ClosedLoopRunner:
                         v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
                         alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
                     )
-                    res, _ = msolve8(
+                    res, best = msolve8(
                         data8, jnp.asarray(np.stack(cands), self.dtype))
                     feas = bool(res.feas)
                     fallback = True
                     Ts_opt = Ts_cur
                     data = data8  # keep last_failure's problem == res's
+                    spec = spec8
             else:
                 xref = window_reference(ref_j, L, jnp.asarray(x0, self.dtype), N_fix)
                 if x_prev_plan is not None:
@@ -320,15 +327,23 @@ class ClosedLoopRunner:
                 while len(cands) < 5:
                     cands.append(cands[0])
                 x_inits = jnp.asarray(np.stack(cands[:5]), self.dtype)
-                res, _ = msolve(data, x_inits)
+                res, best = msolve(data, x_inits)
                 feas = bool(res.feas)
                 fallback = False
                 if not feas:  # src/closed_loop.py:393-398
                     spec8, msolve8 = self._solver("fix_free_end", N_fix, 5)
-                    res, _ = msolve8(data, x_inits)
+                    res, best = msolve8(data, x_inits)
                     feas = bool(res.feas)
                     fallback = True
+                    spec = spec8
             solve_ms = (_time.time() - t_solve) * 1e3
+            if self.record_problems:
+                bi = min(int(best), len(cands) - 1)
+                self.problems.append({
+                    "k": k, "fixtime": fixtime, "fallback": fallback,
+                    "spec": spec, "data": data,
+                    "x_init": np.asarray(cands[bi]), "res": res,
+                })
             self.metrics.record("replan_ms", solve_ms)
             self.metrics.record("iters", int(res.iters))
             self.metrics.bump("replans")
