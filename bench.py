@@ -40,6 +40,12 @@ def main():
 
     # Host-side problem building stays on CPU; the accelerator only sees
     # the batched solves (remote-TPU compiles are ~30 s per shape).
+    # persistent compilation cache: the remote-TPU compiles are ~15 min
+    # per process without it (verified hit: 980 s -> seconds)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     plats = os.environ.get("JAX_PLATFORMS", "")
     accel = None
     if "axon" in plats:
@@ -80,7 +86,13 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "100"))
     chunk = int(os.environ.get("BENCH_CHUNK", "24"))
     min_bucket = int(os.environ.get("BENCH_MINBUCKET", str(max(B // 4, 8))))
-    compact = os.environ.get("BENCH_COMPACT", "1") == "1"
+    # Default OFF under the remote-TPU tunnel: each extra executable
+    # invocation there costs ~10-20 s regardless of compute (measured:
+    # 3-call compacted run 35 s vs 1-call monolithic 0.75 s for the SAME
+    # lane-iterations), so the compaction win (2.1x fewer lane-iters) is
+    # drowned. On a local device the compacted driver is the faster path
+    # (tests/test_compact.py proves bit-equivalence).
+    compact = os.environ.get("BENCH_COMPACT", "0") == "1"
     N = 10
     BASELINE_S = 3.69  # reference per-solve wall time, src/simulation.py:231
 
@@ -218,8 +230,18 @@ def main():
         np.asarray(scn1.grid), demo1.start, demo1.goal)
     L1 = ref1.shape[1]
     ref1j = jnp.asarray(ref1, dtype)
-    starts1 = np.sort(rng.randint(2, L1 - 2, size=B))
+    # Start poses: mid-path only (x < 28). Late-path lanes are infeasible
+    # BY CONSTRUCTION, not hard: the reference's terminal-set policy
+    # x_N >= x0 + 5 (src/closed_loop.py:371) exceeds the map bound
+    # x <= 39 near the goal, and from the A* knots' u0 = 0 the 5-step
+    # kinematic x-range at Ts = 1.7 is exactly 5.1 m — the closed loop
+    # only ever solves this NLP mid-path while cruising, so the bench
+    # samples that population (and passes the cruising u0 below).
+    ok_cols = np.nonzero(ref1[0, :] < 28.0)[0]
+    ok_cols = ok_cols[(ok_cols >= 2) & (ok_cols < L1 - 2)]
+    starts1 = np.sort(rng.choice(ok_cols, size=B, replace=True))
     x0s1 = np.asarray(ref1[:, starts1]).T                       # (B, 3)
+    u0_fix = jnp.asarray([0.55, 0.0], dtype)  # cruising, goldens' median
     tsets = np.stack([demo1.terminal_policy.resolve(x)
                       for x in x0s1]).astype(np.float32)        # (B, 2, 2)
     # The closed loop reaches fix-time mode with Ts grown to ~1.7 s by
@@ -236,7 +258,7 @@ def main():
     def build_fix(x0, tset, delta):
         xref = window_reference(ref1j, L1, x0, N5)
         return build_obca_data(
-            spec_fix, scn1, x0=x0, u0=jnp.zeros(2, dtype), xref=xref,
+            spec_fix, scn1, x0=x0, u0=u0_fix, xref=xref,
             Ts=Ts_fix, dyn_active=jnp.ones((nD,), dtype), dyn_delta=delta,
             Ts_pred=Ts_fix, terminal_set=tset,
             q=p1.q_fix, r1=p1.r1_fix, r2=p1.r2_fix,

@@ -51,6 +51,10 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if accel:
         jax.config.update("jax_platforms", "cpu,axon")
     else:

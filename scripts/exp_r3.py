@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 if "axon" in os.environ.get("JAX_PLATFORMS", ""):
     jax.config.update("jax_platforms", "cpu,axon")
     accel = "axon"
@@ -152,7 +156,11 @@ def v_xla_inv(S_, r_):
     return jnp.einsum("bij,brj->bri", Sinv, r_)
 
 
-variants = {"unrolled_inv": v_unrolled, "xla_chol_solve": v_xla_chol,
+# NOTE: the unrolled _chol_inv_small at 54x54 emits ~2900 sequential HLO
+# ops and its compile ran >10 min on the remote TPU before being killed —
+# that IS the shootout result for it (the _UNROLL_LIMIT=16 guard in
+# solver/ipm.py exists for exactly this reason); excluded from the list.
+variants = {"xla_chol_solve": v_xla_chol,
             "xla_tri_inv": v_xla_inv}
 
 try:

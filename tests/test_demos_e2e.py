@@ -14,8 +14,10 @@ Three layers:
 
 Goldens are produced by ``scripts/run_demos.py``. Reference-published
 demo outcomes exist only for demo1/demo9/demo11 (images/) and the tuned
-demos 8/10 (src/simulation.py:66-99); demos 2/4/6 abort infeasible
-mid-run under the host driver today and are tracked as known limits.
+demos 8/10 (src/simulation.py:66-99); since round 3 every demo completes
+its full 30-step run without an infeasibility abort (delta_d_al = 1e-3
++ the QR rescue rung, runtime/closed_loop.py), so KNOWN_ABORTS is empty
+and stays that way.
 """
 
 import os
@@ -30,13 +32,11 @@ from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.de
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
 
-# Demos whose host closed loop currently aborts infeasible mid-run (the
-# reference never published outcomes for these configs). Tracked so a
-# robustness regression on the others fails loudly; shrink this set as
-# fixes land. demo2 was fixed by the free-branch mpc8 fallback
-# (runtime/closed_loop.py); demo4/demo6 still abort in the fix-time
-# branch.
-KNOWN_ABORTS = {"demo4", "demo6"}
+# Demos whose host closed loop aborts infeasible mid-run. Empty since
+# round 3 (demo2: free-branch mpc8 fallback; demo4/demo6: the
+# delta_d_al = 1e-3 AL-kernel fix; demo11: the QR rescue rung) — any
+# entry appearing here again is a robustness regression.
+KNOWN_ABORTS = set()
 
 ALL_DEMOS = demo_names()
 
@@ -130,9 +130,10 @@ def test_golden_trajectory_properties(name):
         # d0 = 35-95 m make that kinematically impossible — the
         # reference shares the same k == 30 cap, src/closed_loop.py:431);
         # the bar is therefore "no progress regression", not arrival.
-        bars = {"demo1": 0.27, "demo2": 0.28, "demo3": 0.53,
-                "demo5": 0.25, "demo7": 0.19, "demo8": 0.18,
-                "demo9": 0.69, "demo10": 0.76, "demo11": 0.73}
+        bars = {"demo1": 0.27, "demo2": 0.27, "demo3": 0.52,
+                "demo4": 0.69, "demo5": 0.26, "demo6": 0.18,
+                "demo7": 0.18, "demo8": 0.18, "demo9": 0.79,
+                "demo10": 0.76, "demo11": 0.70}
         goal = np.asarray(demo.goal[:2])
         d0 = np.linalg.norm(np.asarray(demo.start[:2]) - goal)
         d_end = np.linalg.norm(x[-1, :2] - goal)

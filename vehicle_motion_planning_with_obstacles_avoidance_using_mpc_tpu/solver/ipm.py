@@ -116,7 +116,20 @@ class IPMOptions:
     #   semantics as 'al_chol' at a small fraction of the flops (the
     #   dense n^3 Cholesky was ~95% of solve time on TPU).
     kkt: str = "arrow"
-    delta_d_al: float = 1e-2     # dual regularization of the AL kernel
+    # Dual regularization of the AL kernel. This is THE robustness-
+    # critical knob near degenerate contacts: the kernel's bias against
+    # the true (delta_d-regularized) saddle system is removed by the two
+    # refinement passes only while the constraint Jacobian's small
+    # singular values sigma satisfy sigma^2 >~ delta_d_al — at a
+    # face-to-face contact (LICQ failure) sigma -> 0 and a too-large
+    # delta_d_al leaves the dual component uncorrected, the curvature
+    # test rejects every ladder rung, and the solve stalls at KKT ~ 1
+    # (seen: demo4 k=21 brake solve — QR converged in 46 iterations,
+    # arrow at 1e-2 never; at 1e-3 it converges in 55). Smaller is not
+    # better either: at 1e-4 the f32 Cholesky of J^T J / dd loses
+    # enough digits that refinement floors at KKT ~ 3e-2. 1e-3 is the
+    # f32 sweet spot; f64 solves tolerate 1e-4.
+    delta_d_al: float = 1e-3
     # MXU passes for f32 matmuls: 'highest' = full f32 emulation (6
     # bf16 passes), 'high' = bf16x3. Newton-KKT tolerates 'high' thanks
     # to the iterative refinement in the KKT solve; 'default' (1 bf16
