@@ -81,7 +81,9 @@ def main():
         solve_compacted,
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    # 512 is the measured single-chip sweet spot (B-scaling probe:
+    # 256 -> 341, 512 -> 380, 1024 -> 356, 2048 -> 265 solves/s)
+    B = int(os.environ.get("BENCH_BATCH", "512"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "100"))
     chunk = int(os.environ.get("BENCH_CHUNK", "24"))

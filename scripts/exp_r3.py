@@ -4,8 +4,14 @@
      runs exactly max_iters; slope between max_iters = 1 and 24),
   2. same at matmul_precision='high' (bf16x3 instead of 6-pass f32),
   3. spine-solve shootout on the real Schur shape (B=256, 54x54 SPD):
-     unrolled _chol_inv_small vs XLA cholesky+cho_solve(x3 rhs) vs the
-     Pallas tri_inv_chol kernel,
+     XLA cholesky+cho_solve(x3 rhs) vs blocked triangular inverse.
+     (ops/chol_pallas was deleted in round 3: it targeted the dense
+     ~600-row AL-kernel factorization that the arrow/structured path
+     made obsolete — production blocks are 12x12 and the spine is
+     ~54-78 rows, both below Mosaic's 128-lane tile granularity, so
+     the kernel could only pad and lose. The unrolled _chol_inv_small
+     at 54x54 emits ~2900 serial HLO ops and its TPU compile ran >10
+     min before being killed — that is its shootout result.)
   4. the tiny-block path (B=256, K=60, 8x8) for context.
 
 Usage: python scripts/exp_r3.py   (axon env assumed; falls back to CPU)
@@ -162,21 +168,6 @@ def v_xla_inv(S_, r_):
 # solver/ipm.py exists for exactly this reason); excluded from the list.
 variants = {"xla_chol_solve": v_xla_chol,
             "xla_tri_inv": v_xla_inv}
-
-try:
-    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.ops.chol_pallas import (
-        tri_inv_chol,
-    )
-
-    def v_pallas(S_, r_):
-        V = tri_inv_chol(S_)
-        # G^{-1} r = V (V^T r)
-        t_ = jnp.einsum("bji,brj->bri", V, r_)
-        return jnp.einsum("bij,brj->bri", V, t_)
-
-    variants["pallas_tri_inv"] = v_pallas
-except Exception as e:
-    print(f"pallas import failed: {e}", flush=True)
 
 for name, fn in variants.items():
     try:

@@ -94,9 +94,16 @@ class OBCASpec:
     # adds nO*(E+4) duals that are decoupled from the trajectory, and at
     # poses hugging an obstacle (every step of wall-following) they are
     # exactly the degenerate contact multipliers that stall convergence.
-    # Default False: identical trajectories, smaller and better-behaved
-    # NLP; the k = 0 pose is instead certified geometrically by the
-    # runtime (it was reached through a dmin-feasible solve).
+    # Default False: smaller and better-behaved NLP; the k = 0 pose is
+    # instead certified geometrically by the runtime (it was reached
+    # through a dmin-feasible solve). Equivalence of the encodings
+    # (tests/test_variants.py): free-time solves produce identical
+    # trajectories within solver tolerance; on *near-contact fix-time*
+    # windows the Q_fix = 0.001 cost landscape is nearly flat and the
+    # k = 0 block's degenerate duals can tip the solve to a different —
+    # equally feasible, dmin-separated — flat optimum (measured demo1
+    # k = 9), which is the same run-to-run sensitivity IPOPT exhibits
+    # on these windows.
     obca_k0: bool = False
 
     def __post_init__(self):

@@ -94,6 +94,11 @@ class IPMOptions:
     n_deltas: int = 2
     delta_step: float = 100.0    # ladder ratio
     n_backtracks: int = 16       # vectorized filter candidates
+    # Iterative-refinement passes per KKT solve (against the delta_d-
+    # regularized saddle system). 2 is the f32 robustness point; the
+    # passes are ~flop-cheap (matvecs + re-solves against the cached
+    # factorization) but not free on HBM-bound batches.
+    n_refine: int = 2
     g_max: float = 100.0         # gradient-based scaling threshold
     # 'al_chol' (default): eliminate the equality-dual block exactly via
     #   the augmented-Lagrangian normal equations
@@ -689,7 +694,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                         return dp, dq, v
 
                     dp, dq, v = al_solve(r1p, r1q, rhs2, jt2p, jt2q)
-                    for _ in range(2):
+                    for _ in range(opt.n_refine):
                         wp_, wq_ = wmv(dp, dq)
                         res1p = wp_ + delta * dp + JE_p.T @ v - r1p
                         res1q = (wq_ + delta * dq
@@ -857,7 +862,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
 
                 dz, v = al_solve(rhs1, rhs2, Jt_rhs2_dd)
                 Wd = W + delta * eye_n
-                for _ in range(2):
+                for _ in range(opt.n_refine):
                     res1 = Wd @ dz + JE.T @ v - rhs1
                     res2 = JE @ dz - opt.delta_d * v - rhs2
                     dzc, vc = al_solve(res1, res2, (JE.T @ res2) / dd)
@@ -909,7 +914,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
 
                 dz, v = al_solve(rhs1, rhs2, Jt_rhs2_dd)
                 Wd = W + delta * eye_n
-                for _ in range(2):
+                for _ in range(opt.n_refine):
                     res1 = Wd @ dz + JE.T @ v - rhs1
                     res2 = JE @ dz - opt.delta_d * v - rhs2
                     dzc, vc = al_solve(res1, res2, (JE.T @ res2) / dd)
