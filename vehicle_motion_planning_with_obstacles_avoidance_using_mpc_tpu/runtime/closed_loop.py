@@ -378,6 +378,11 @@ class ClosedLoopRunner:
                     "k": k, "fixtime": fixtime, "fallback": fallback,
                     "spec": spec, "data": data,
                     "x_init": np.asarray(cands[bi]), "res": res,
+                    # world-state params the data tensors were built
+                    # from (the bench fixture rebuilds problems at a
+                    # different dtype from these)
+                    "dyn_delta": (dyn_pos - spawn_pos).copy(),
+                    "sensed": sensed.copy(),
                 })
             self.metrics.record("replan_ms", solve_ms)
             self.metrics.record("iters", int(res.iters))
