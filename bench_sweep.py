@@ -51,9 +51,14 @@ def main():
 
     import jax
 
+    # cache dir is split per platform config: CPU executables compiled in
+    # a cpu,axon process carry target flags (+prefer-no-scatter) that a
+    # cpu-only process warns about loading (cpu_aot_loader E-spam that
+    # can pollute the single-JSON-line stdout contract)
+    _plat_tag = "axon" if "axon" in os.environ.get("JAX_PLATFORMS", "") else "cpu"
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/root/.cache/jax_comp"))
+                                     f"/root/.cache/jax_comp_{_plat_tag}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if accel:
         jax.config.update("jax_platforms", "cpu,axon")

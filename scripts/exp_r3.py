@@ -25,9 +25,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+_plat_tag = "axon" if "axon" in os.environ.get("JAX_PLATFORMS", "") else "cpu"
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/root/.cache/jax_comp"))
+                                 f"/root/.cache/jax_comp_{_plat_tag}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 if "axon" in os.environ.get("JAX_PLATFORMS", ""):
     jax.config.update("jax_platforms", "cpu,axon")

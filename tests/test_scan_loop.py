@@ -114,3 +114,52 @@ def test_scan_requires_equal_horizons():
     p = dataclasses.replace(default_params_for("demo1"), N_fix=4, N_free=6)
     with pytest.raises(NotImplementedError):
         make_scan_rollout(shape, p, max_steps=2, dtype=dtype)
+
+
+@pytest.mark.slow
+def test_random_sweep_scenarios_all_feasible():
+    """Sweep feasibility (BASELINE.json configs #4/#5 gate): randomized
+    corridor scenarios from the sweep generator must complete their
+    scanned-rollout steps without a single infeasibility abort. The
+    round-2 review measured failed_frac 0.25 on this exact population
+    (the pre-round-3 AL-kernel regularization stalled near-contact
+    solves); the committed SWEEP_r03.json records 0.0."""
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.ops import (
+        astar as tpu_astar,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.scenarios.random_gen import (
+        random_scenarios,
+    )
+
+    # f64 like the suite's other scan rollouts (conftest enables x64);
+    # the sweep binary runs the same population at f32 with x64 off
+    dtype = jnp.float64
+    total = 16
+    scn_all, shape = random_scenarios(seed=7, batch=total, dtype=dtype)
+    start_yx = np.tile(
+        np.asarray([[int(scn_all.start[0][1]), int(scn_all.start[0][0])]]),
+        (total, 1))
+    goal_yx = np.tile(
+        np.asarray([[int(scn_all.goal[0][1]), int(scn_all.goal[0][0])]]),
+        (total, 1))
+
+    def plan_one(grid, s_yx, g_yx):
+        traj_yx, valid = tpu_astar.plan_grid_path(grid, s_yx, g_yx,
+                                                  max_len=64)
+        xy = traj_yx[:, ::-1].astype(dtype)
+        return tpu_astar.path_to_reference(xy, valid).T, jnp.sum(
+            valid.astype(jnp.int32))
+
+    refs, ref_lens = jax.jit(jax.vmap(plan_one))(
+        jnp.asarray(np.asarray(scn_all.grid), dtype),
+        jnp.asarray(start_yx), jnp.asarray(goal_yx))
+    assert (np.asarray(ref_lens) > 1).all(), "unreachable scenario"
+
+    roll = make_scan_rollout(shape, default_params_for("demo1"),
+                             max_steps=3, dtype=dtype)
+    final, traj = jax.jit(jax.vmap(roll))(scn_all, refs, ref_lens)
+    failed = np.asarray(final.failed)
+    assert not failed.any(), (
+        f"random scenarios {np.nonzero(failed)[0].tolist()} aborted "
+        f"infeasible")
+    assert np.asarray(traj["feas"]).all()

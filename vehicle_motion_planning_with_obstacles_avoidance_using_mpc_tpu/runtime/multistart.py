@@ -108,7 +108,11 @@ def candidate_inits_traced(xref, x0, dyn_boxes=None, y_bounds=None,
             t_eff = jnp.where(d, prev, t)
             return t_eff, t_eff
 
-        _, th = jax.lax.scan(carry, x0[2], (th_raw, deg))
+        # carry init must match th_raw's dtype exactly (an f32 x0 with
+        # an f64 xref under jax_enable_x64 otherwise trips the scan
+        # carry-type check)
+        _, th = jax.lax.scan(carry, jnp.asarray(x0[2], th_raw.dtype),
+                             (th_raw, deg))
         tr = jnp.concatenate([xy, jnp.concatenate([th, th[-1:]])[None]], axis=0)
         return tr.at[:, 0].set(x0)
 

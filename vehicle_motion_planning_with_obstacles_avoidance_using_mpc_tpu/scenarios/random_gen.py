@@ -16,11 +16,15 @@ from .build import Scenario, ShapeSpec, build_scenario
 from .demos import DemoSpec, MPCParams, TerminalPolicy, get_demo
 
 
-def random_scenarios(seed: int, batch: int, base: str = "demo1"):
+def random_scenarios(seed: int, batch: int, base: str = "demo1",
+                     dtype=None):
     """Build a batch of randomized demo1-style corridors.
 
     Returns (stacked Scenario with leading axis `batch`, ShapeSpec).
     Host-side (numpy RNG) — this is data construction, not the hot path.
+    ``dtype`` pins the scenario arrays (default: build_scenario's f32,
+    or f64 under jax_enable_x64 — pass f32 explicitly when pairing with
+    an f32 rollout under the x64 test config).
     """
     rng = np.random.default_rng(seed)
     base_spec = get_demo(base)
@@ -72,8 +76,9 @@ def random_scenarios(seed: int, batch: int, base: str = "demo1"):
         )
     shape = None
     built = []
+    kw = {} if dtype is None else {"dtype": dtype}
     for s in specs:
-        scn, shape = build_scenario(s, shape)
+        scn, shape = build_scenario(s, shape, **kw)
         built.append(scn)
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *built)
     return Scenario(*stacked), shape
