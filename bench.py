@@ -21,8 +21,9 @@ FLOP/MFU numbers are trip-count corrected: XLA's cost model counts a
 dispatched lane-iterations reported by the compacted driver.
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
-Env overrides: BENCH_BATCH (256), BENCH_REPS (3), BENCH_ITERS (100),
-BENCH_CHUNK (24), BENCH_MINBUCKET (B//4), BENCH_COMPACT (1).
+Env overrides: BENCH_BATCH (256), BENCH_REPS (5), BENCH_ITERS (100),
+BENCH_CHUNK (24), BENCH_MINBUCKET (B//4), BENCH_COMPACT (0 — see the
+in-code note on remote-tunnel dispatch latency).
 """
 
 import json
@@ -163,7 +164,10 @@ def main():
 
     def run_throughput(data_in, z0_in, sol, label):
         """Compile + warm, then timed reps. Returns (t, res, stats)."""
-        if compact:
+        if compact and hasattr(sol, "init"):
+            # bare-closure solvers (the mpc6+mpc8 ladder) lack the
+            # chunked .init/.iterate/.finalize API — they always take
+            # the monolithic vmap path below
             runner = lambda z: solve_compacted(
                 sol, data_in, z, chunk=chunk, min_bucket=min_bucket,
                 max_iters=iters, device=dev)
@@ -328,10 +332,20 @@ def main():
         spec_fix8, make_obca_solver(spec_fix8, opt_fix), init_vars, 5)
 
     def sol_fix(d, c):
+        # mpc8 runs ONLY on mpc6-infeasible lanes (skip-gating: a skipped
+        # lane starts `done` and adds zero to the while_loop trip count)
+        # — the host driver's Python-side ladder, closed_loop.py:355-360.
         r6 = ms_fix(d, c)[0]
-        r8 = ms_fix8(d, c)[0]
-        return r6._replace(feas=r6.feas | r8.feas,
-                           iters=jnp.maximum(r6.iters, r8.iters))
+        r8 = ms_fix8(d, c, r6.feas)[0]
+        use8 = ~r6.feas & r8.feas
+        m = lambda a, b: jnp.where(use8, b, a)
+        return r6._replace(
+            z=jax.tree.map(m, r6.z, r8.z),
+            f=m(r6.f, r8.f), viol=m(r6.viol, r8.viol),
+            kkt_err=m(r6.kkt_err, r8.kkt_err),
+            feas=r6.feas | r8.feas,
+            iters=r6.iters + r8.iters,  # true serial work of the ladder
+        )
 
     datafix = jax.device_put(datafix, dev)
     candsfix = jax.device_put(candsfix, dev)

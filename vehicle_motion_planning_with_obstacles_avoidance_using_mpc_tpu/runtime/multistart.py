@@ -146,12 +146,27 @@ def make_multistart_solver(spec, solve, init_vars_fn, n_candidates):
     Returns ``msolve(data, x_inits (nC, 3, N+1)) -> (result_tree, best_idx)``
     where result_tree is the selected single IPMResult. jit-compiled once
     per (spec, n_candidates).
+
+    The optional third argument ``skip`` is a traced scalar bool: a skipped problem's solver
+    state starts ``done`` and contributes ZERO iterations to the vmapped
+    ``while_loop``'s trip count (it returns the meaningless z0 payload
+    with ``feas=False`` — the caller masks it out). This is how the
+    fallback rungs of the mpc6→mpc8 ladder (src/closed_loop.py:393-398)
+    and the unused mode branch of the scanned loop stop convoying the
+    batch: the host driver skips them with Python control flow
+    (closed_loop.py:355-373); under ``vmap``/``scan`` the skip must be a
+    masked ``done`` instead.
     """
 
-    def msolve(data, x_inits):
+    def msolve(data, x_inits, skip=None):
         def one(x_init):
             z0 = init_vars_fn(spec, data, x_init=x_init)
-            return solve(data, z0)
+            if skip is None:
+                return solve(data, z0)
+            st = solve.init(data, z0)
+            st = st._replace(done=st.done | skip)
+            st = solve.iterate(st, data, 10 ** 9)  # opt.max_iters clamps
+            return solve.finalize(st, data)
 
         res = jax.vmap(one)(x_inits)
         # prefer feasible, then lowest objective
@@ -159,6 +174,8 @@ def make_multistart_solver(spec, solve, init_vars_fn, n_candidates):
         score = jnp.where(res.feas, res.f, big + res.viol)
         best = jnp.argmin(score)
         picked = jax.tree.map(lambda a: a[best], res)
+        if skip is not None:
+            picked = picked._replace(feas=picked.feas & ~skip)
         return picked, best
 
     return jax.jit(msolve)

@@ -141,7 +141,13 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             )
             cands_f = candidate_inits_traced(
                 xref_free, st.x0, prev_plan=st.prev_plan)[:N_CAND_FREE]
-            res_free0, _ = ms_free(data_free, cands_f)
+            # skip-gating (multistart.make_multistart_solver): a lane only
+            # iterates the branch its mode actually uses — the unused
+            # branch and un-triggered fallback rungs start `done` and
+            # contribute zero to the vmapped while_loop trip count,
+            # matching the host driver's Python-side ladder gating
+            # (closed_loop.py:262-373).
+            res_free0, _ = ms_free(data_free, cands_f, fixtime | ~st.active)
             # free-branch mpc8 fallback (masked select — mirrors the host
             # driver's ladder, closed_loop.py:264-286): fixed-time
             # no-terminal solve at Ts_cur with the fix-branch weights.
@@ -151,7 +157,8 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                 v_max=p.v_max, w_max=p.w_max, a_max=p.a_max,
                 alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
             )
-            res_fb, _ = ms_fb(data_fb, cands_f)
+            res_fb, _ = ms_fb(data_fb, cands_f,
+                              fixtime | ~st.active | res_free0.feas)
             use_fb = ~res_free0.feas
             mergef = lambda a, b: jnp.where(use_fb, b, a)
             res_free = SimpleNamespace(
@@ -193,8 +200,9 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                 y_bounds=(scn.x_lo[1], scn.x_hi[1]),
                 prev_plan=st.prev_plan,
             )
-            res_fixT, _ = ms_fixT(data_fix, cands_x)
-            res_fix8, _ = ms_fix8(data_fix, cands_x)
+            res_fixT, _ = ms_fixT(data_fix, cands_x, ~fixtime | ~st.active)
+            res_fix8, _ = ms_fix8(data_fix, cands_x,
+                                  ~fixtime | ~st.active | res_fixT.feas)
             # mpc6 -> mpc8 fallback ladder (src/closed_loop.py:393-398) as a
             # masked select. The two variants differ in dual sizes (terminal
             # set adds inequality rows), so merge only the primal fields.

@@ -17,7 +17,7 @@ from .demos import DemoSpec, MPCParams, TerminalPolicy, get_demo
 
 
 def random_scenarios(seed: int, batch: int, base: str = "demo1",
-                     dtype=None):
+                     dtype=None, randomize_endpoints: bool = True):
     """Build a batch of randomized demo1-style corridors.
 
     Returns (stacked Scenario with leading axis `batch`, ShapeSpec).
@@ -25,12 +25,20 @@ def random_scenarios(seed: int, batch: int, base: str = "demo1",
     ``dtype`` pins the scenario arrays (default: build_scenario's f32,
     or f64 under jax_enable_x64 — pass f32 explicitly when pairing with
     an f32 rollout under the x64 test config).
+
+    ``randomize_endpoints`` randomizes start pose and goal per scenario
+    (start in the approach corridor left of the block, goal to its
+    right, both clear of every obstacle) so a sweep exercises distinct
+    A* paths and replan populations, and short start-goal distances are
+    represented (those can actually reach the goal inside a 30-step
+    rollout). ``False`` keeps the base demo's fixed endpoints
+    (pre-round-4 behavior).
     """
     rng = np.random.default_rng(seed)
     base_spec = get_demo(base)
     specs = []
     for _ in range(batch):
-        bx = float(rng.uniform(8.0, 28.0))       # block left edge
+        bx = float(rng.uniform(8.0, 26.0))       # block left edge
         bw = float(rng.uniform(3.0, 6.0))        # block width
         by0 = float(rng.choice([1.0, 3.0]))      # bottom or floating
         bh = float(rng.uniform(3.0, 5.0))
@@ -58,13 +66,24 @@ def random_scenarios(seed: int, batch: int, base: str = "demo1",
             dcx = float(rng.uniform(6.0, bx - 4.0))
         dv = float(rng.uniform(0.1, 0.3))
         dyn = ((dcx, 0.0, np.pi / 2, 3.0, 3.0, dv, dcx, 9.0, np.pi / 2, 0.0, 55.0),)
+        if randomize_endpoints:
+            # start left of the block with ego-length clearance, goal to
+            # its right; y inside the corridor walls (y in [1, xu[1]-1])
+            # with clearance for the 1.5 m-wide ego
+            start = (float(rng.uniform(1.0, max(bx - 4.0, 2.0))),
+                     float(rng.uniform(3.0, xu[1] - 3.0)), 0.0)
+            goal = (float(rng.uniform(min(bx + bw + 4.0, xu[0] - 2.0),
+                                      xu[0] - 1.0)),
+                    float(rng.uniform(3.0, xu[1] - 3.0)), 0.0)
+        else:
+            start, goal = base_spec.start, base_spec.goal
         specs.append(
             DemoSpec(
                 name=f"rand{seed}",
                 x_lo=base_spec.x_lo,
                 x_hi=base_spec.x_hi,
-                start=base_spec.start,
-                goal=base_spec.goal,
+                start=start,
+                goal=goal,
                 static_lobs=lobs,
                 grid_rects=rects,
                 dyn_obs_info=dyn,

@@ -135,6 +135,36 @@ class IPMOptions:
     # enough digits that refinement floors at KKT ~ 3e-2. 1e-3 is the
     # f32 sweet spot; f64 solves tolerate 1e-4.
     delta_d_al: float = 1e-3
+    # Divergence cut: declare a lane done after this many consecutive
+    # iterations without a watchdog improvement (0 = disabled). An NLP
+    # that is *locally infeasible* — e.g. the fix-time terminal set is
+    # unreachable from a brake candidate, exactly why the reference
+    # carries the mpc8 fallback rung (src/closed_loop.py:393-398) —
+    # never converges and otherwise burns the full iteration budget; in
+    # a vmapped batch that one lane convoys everyone (bench r3: fix-step
+    # iteration p90 = max = cap). A converging solve improves the
+    # watchdog's (acceptable-feasibility, mu=0-KKT) key nearly every
+    # iteration; plateaus from dual chatter at degenerate contacts are
+    # shorter than ~15 iterations (measured: demo4 k=21, the longest
+    # stall among all golden solves, recovers within 9).
+    stall_iters: int = 0
+    # Improvement that RESETS the stall counter must be a relative KKT
+    # reduction (or a feasibility flip), not the strict `<` the watchdog
+    # uses: a locally-infeasible lane's error chatters downward at noise
+    # level forever (diag: demo1 k=9 stuck at err 4.81, viol 1.09 for
+    # 100 iterations with the counter never reaching 20 —
+    # scripts/exp_r4_diag.py).
+    stall_rel: float = 1e-3
+    # Restrict the cut to lanes whose best iterate is still MATERIALLY
+    # infeasible (best_viol > acceptable_viol_tol). True is the safe
+    # default for a solver with no fallback behind it. A ladder's
+    # NON-final rungs should run False (aggressive): a slow lane cut
+    # early is rescued by the next rung, and the vmapped while_loop's
+    # trip count — the whole batch's wall time — drops to the fast
+    # lanes' level (exp_r4_diag: the mpc6 stage's per-candidate p90 is
+    # ~38 iterations but its batch max was pinned at the cap by lanes
+    # whose mpc8 rescue was inevitable anyway).
+    stall_viol_gate: bool = True
     # MXU passes for f32 matmuls: 'highest' = full f32 emulation (6
     # bf16 passes), 'high' = bf16x3. Newton-KKT tolerates 'high' thanks
     # to the iterative refinement in the KKT solve; 'default' (1 bf16
@@ -189,6 +219,7 @@ class IPMState(NamedTuple):
     it: jnp.ndarray
     done: jnp.ndarray
     acc_it: jnp.ndarray  # consecutive iterations at acceptable level
+    stall_it: jnp.ndarray  # consecutive iterations w/o watchdog progress
     # watchdog: best iterate seen so far (by mu=0 KKT error) — the
     # dual chatter near degenerate contacts must never lose it
     best_zv: jnp.ndarray
@@ -420,6 +451,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 z0, s0, y0, w0, mu_b0,
                 jnp.asarray(opt.delta0, dtype), jnp.asarray(0, jnp.int32),
                 jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
                 z0, s0, y0, w0, jnp.asarray(jnp.inf, dtype),
                 jnp.asarray(jnp.inf, dtype),
                 sf, scE, scD,
@@ -572,6 +604,24 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             acc_it = jnp.where((err_0 <= opt.acceptable_tol) & ok_u,
                                st.acc_it + 1, jnp.asarray(0, jnp.int32))
             done = (err_0 <= opt.tol) | (acc_it >= opt.acceptable_iter)
+            # stall accounting: progress = feasibility flip or a RELATIVE
+            # error reduction (see IPMOptions.stall_rel)
+            progress = (ok_u & ~best_ok) | (
+                (ok_u == best_ok)
+                & (err_0 < st.best_err * (1.0 - opt.stall_rel))
+            )
+            stall_it = jnp.where(progress, jnp.asarray(0, jnp.int32),
+                                 st.stall_it + 1)
+            if opt.stall_iters > 0:
+                cut = stall_it >= opt.stall_iters
+                if opt.stall_viol_gate:
+                    # protect still-converging lanes: cut only those whose
+                    # best iterate is materially infeasible (cutting
+                    # slow-but-feasible lanes lost 2-7/256 ladder-feasible
+                    # lanes in the round-4 knob sweep, scripts/exp_r4.py
+                    # C/E/F)
+                    cut = cut & (best_viol > opt.acceptable_viol_tol)
+                done = done | cut
 
             # monotone Fiacco-McCormick barrier update at iteration start
             shrink = err_mu <= opt.kappa_eps * st.mu_b
@@ -795,8 +845,8 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 )
 
             return IPMState(zv_n, s_n, y_n, w_n, mu_b, delta_n, st.it + 1,
-                            done, acc_it, best_zv, best_s, best_y, best_w,
-                            best_err, best_viol, sf, scE, scD)
+                            done, acc_it, stall_it, best_zv, best_s, best_y,
+                            best_w, best_err, best_viol, sf, scE, scD)
 
         def _dense_kkt(zv, y, w, s, sigma, JE, JD, cE, cI, mu_b,
                        rhs1, rhs2, ladder, dd):
