@@ -241,6 +241,30 @@ def main():
             "dispatched_lane_iters": stats["dispatched_lane_iters"],
             "useful_lane_iters": stats["lane_iters"],
         }
+    # ---- HBM roofline (round-4 verdict #9): the solver is bandwidth-
+    # bound (tiny matrices, MFU < 1%), so the honest ceiling is bytes,
+    # not FLOPs. XLA's cost model reports bytes accessed for ONE
+    # while_loop body execution of the whole batch; the achievable
+    # iteration rate is HBM_BW / bytes_per_batch_iteration, and the
+    # solve-rate ceiling follows from the dispatched iteration count
+    # actually needed per solve.
+    try:
+        body_bytes = float(ca.get("bytes accessed", 0.0))
+        if body_bytes > 0 and flops_per_lane_iter is not None:
+            HBM_BW = 819e9  # v5e HBM ~819 GB/s
+            iters_ceiling = HBM_BW / body_bytes  # batch-iterations/s
+            trips = stats["dispatched_lane_iters"] / B  # while_loop trips
+            solves_ceiling = iters_ceiling / trips * B
+            extra.update({
+                "bytes_per_batch_iter": int(body_bytes),
+                "roofline_solves_per_s": round(solves_ceiling, 1),
+                "pct_of_hbm_roofline": round(
+                    100.0 * solves_per_s / solves_ceiling, 2),
+                "batch_iters_per_s_measured": round(trips / t, 1),
+                "batch_iters_per_s_roofline": round(iters_ceiling, 1),
+            })
+    except Exception as e:
+        log(f"roofline accounting unavailable: {e}")
 
     # ---- fix-time replan step (the closed-loop hot path) -----------------
     # The batch is the REAL replan population: every feasible fix-time
@@ -322,21 +346,34 @@ def main():
     # fallbacks in 27 fix steps) — so ladder feasibility is the
     # product-level number. Robust two-rung delta ladder + 2 refinement
     # passes: near-contact solves need them (IPMOptions.n_deltas).
-    opt_fix = IPMOptions(max_iters=iters, tol=1e-4, acceptable_tol=5e-3,
-                         feas_tol=1e-3, n_deltas=2)
+    # Asymmetric ladder tuning (scripts/exp_r4.py knob sweep, configs
+    # R/U/V — every step measured at ladder feasibility 1.0000):
+    # mpc6 — the rung with a fallback behind it — stalls aggressively
+    # (stall_iters=10, no viol gate: a cut lane is rescued by mpc8),
+    # stops at the first acceptable iterate, single refinement pass;
+    # mpc8 — the last rung — keeps the protective viol-gated stall.
+    opt_fix6 = IPMOptions(max_iters=iters, tol=1e-4, acceptable_tol=5e-3,
+                          feas_tol=1e-3, n_deltas=2, stall_iters=10,
+                          stall_viol_gate=False, acceptable_iter=1,
+                          n_backtracks=8, n_refine=1)
+    opt_fix8 = IPMOptions(max_iters=iters, tol=1e-4, acceptable_tol=5e-3,
+                          feas_tol=1e-3, n_deltas=2, stall_iters=20,
+                          acceptable_iter=1, n_backtracks=8, n_refine=1)
     spec_fix8 = OBCASpec(N=Nf, n_obs=shape1.n_obs, e_max=shape1.e_max,
                          variant="fix_free_end")
     ms_fix = make_multistart_solver(
-        spec_fix, make_obca_solver(spec_fix, opt_fix), init_vars, 5)
+        spec_fix, make_obca_solver(spec_fix, opt_fix6), init_vars, 5)
     ms_fix8 = make_multistart_solver(
-        spec_fix8, make_obca_solver(spec_fix8, opt_fix), init_vars, 5)
+        spec_fix8, make_obca_solver(spec_fix8, opt_fix8), init_vars, 5)
 
     def sol_fix(d, c):
         # mpc8 runs ONLY on mpc6-infeasible lanes (skip-gating: a skipped
         # lane starts `done` and adds zero to the while_loop trip count)
-        # — the host driver's Python-side ladder, closed_loop.py:355-360.
+        # — the host driver's Python-side ladder, closed_loop.py:355-360 —
+        # and its candidate 0 polish-starts from mpc6's full iterate
+        # (z_override: same NLP minus the terminal rows).
         r6 = ms_fix(d, c)[0]
-        r8 = ms_fix8(d, c, r6.feas)[0]
+        r8 = ms_fix8(d, c, r6.feas, None, dict(r6.z))[0]
         use8 = ~r6.feas & r8.feas
         m = lambda a, b: jnp.where(use8, b, a)
         return r6._replace(
@@ -399,6 +436,70 @@ def main():
     log(f"replan N=5 latency: p50 {q['p50']:.1f} ms  p90 {q['p90']:.1f}  "
         f"p99 {q['p99']:.1f}  feas {feas5}/{reps_lat}")
 
+    # ---- long-horizon open-loop solve at N = 74 --------------------------
+    # The reference's headline benchmark: free-time OBCA over its demo9
+    # A*-path-length horizon, 136.69 s on the author's CPU
+    # (src/simulation.py:225-230, N_free = 74). Same problem here: goal-
+    # only reference, 5-candidate multistart (runtime/open_loop.py
+    # candidates), ONE timed call on the chip (compile excluded).
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.multistart import (
+        make_multistart_solver,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.open_loop import (
+        _resampled_astar_init,
+    )
+    from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.runtime.reference import (
+        start_goal_reference,
+        start_goal_smooth_reference,
+    )
+
+    N74 = 74
+    BASELINE_N74_S = 136.69
+    p9 = demo.params
+    spec74 = OBCASpec(N=N74, n_obs=shape.n_obs, e_max=shape.e_max,
+                      variant="free")
+    xref74 = start_goal_reference(scn.start, scn.goal, N74).astype(dtype)
+    data74 = build_obca_data(
+        spec74, scn, x0=scn.start, u0=jnp.zeros(2, dtype), xref=xref74,
+        Ts=p9.Ts, q=p9.q_free, r1=p9.r1_free, r2=p9.r2_free,
+        v_max=p9.v_max, w_max=p9.w_max, a_max=p9.a_max,
+        alpha_max=p9.alpha_max, ego=p9.ego, dmin=p9.dmin,
+        time_c1=p9.time_c1, time_c2=p9.time_c2,
+    )
+    cands74 = jnp.stack([
+        xref74,
+        start_goal_smooth_reference(scn.start, scn.goal, N74).astype(dtype),
+        _resampled_astar_init(scn, demo, N74, dtype),
+        _resampled_astar_init(scn, demo, N74, dtype, dilation=2,
+                              align_start=True),
+        _resampled_astar_init(scn, demo, N74, dtype, dilation=1,
+                              align_start=True),
+    ])
+    ms74 = make_multistart_solver(
+        spec74, make_obca_solver(spec74, IPMOptions(
+            max_iters=200, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3,
+            n_deltas=2,
+        )), init_vars, 5)
+    ms74 = jax.jit(ms74, device=dev)
+    data74 = jax.device_put(data74, dev)
+    cands74 = jax.device_put(cands74, dev)
+    t0 = time.time()
+    r74, _ = ms74(data74, cands74)
+    _ = float(np.asarray(r74.iters))
+    log(f"open-loop N=74 compile+first: {time.time() - t0:.1f} s")
+    t74s = []
+    for i in range(3):
+        c74p = jax.device_put(jax.tree.map(
+            lambda a: a * (1.0 + 1e-6 * (i + 1)), cands74), dev)
+        t0 = time.time()
+        r74, _ = ms74(data74, c74p)
+        _ = float(np.asarray(r74.iters))
+        t74s.append(time.time() - t0)
+    t74 = min(t74s)
+    feas74 = bool(np.asarray(r74.feas))
+    log(f"open-loop N=74: {[f'{x:.2f}' for x in t74s]} s  feas={feas74}  "
+        f"iters={int(np.asarray(r74.iters))}  (reference: 136.69 s)")
+
     print(json.dumps({
         "metric": "obca_free_time_N10_solves_per_s",
         "value": round(solves_per_s, 2),
@@ -416,6 +517,11 @@ def main():
         "replan_N5_p50_ms": round(q["p50"], 2),
         "replan_N5_p99_ms": round(q["p99"], 2),
         "replan_N5_feasible": feas5 / reps_lat,
+        # reference solves the same N=74 free-time NLP in 136.69 s
+        # (src/simulation.py:230)
+        "openloop_N74_s": round(t74, 3),
+        "openloop_N74_feasible": feas74,
+        "openloop_N74_vs_baseline": round(BASELINE_N74_S / t74, 1),
         **extra,
     }))
 

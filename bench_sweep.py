@@ -122,14 +122,15 @@ def main():
     # ---- batched A* reference paths on the accelerator (the TPU
     # wavefront front-end, ops/astar.py — one vmapped call for the
     # whole sweep; reference solves these serially on the host,
-    # src/a_star.py:39-102)
+    # src/a_star.py:39-102). Endpoints are per-scenario since round 4
+    # (random_gen.py randomize_endpoints).
     MAXL = 64
-    start_yx = np.tile(
-        np.asarray([[int(scn_all.start[0][1]), int(scn_all.start[0][0])]]),
-        (total, 1))
-    goal_yx = np.tile(
-        np.asarray([[int(scn_all.goal[0][1]), int(scn_all.goal[0][0])]]),
-        (total, 1))
+    starts_np = np.asarray(scn_all.start)
+    goals_np = np.asarray(scn_all.goal)
+    start_yx = np.stack([starts_np[:, 1], starts_np[:, 0]],
+                        axis=1).astype(np.int32)
+    goal_yx = np.stack([goals_np[:, 1], goals_np[:, 0]],
+                       axis=1).astype(np.int32)
 
     def plan_one(grid, s_yx, g_yx):
         traj_yx, valid = tpu_astar.plan_grid_path(grid, s_yx, g_yx, max_len=MAXL)

@@ -166,6 +166,40 @@ def main():
         "O": (dict(fast6, n_refine=1, stall_iters=10),
               dict(safe8, n_refine=1), True),
     })
+    # round 4: shift-warm-started duals from the recorded previous step
+    # (fixture prev_lam/prev_mu) on the window + shifted-prev candidates
+    WARM = {
+        "P": (fast6, safe8, True),
+        "Q": (dict(fast6, n_refine=1), dict(safe8, n_refine=1), True),
+        "R": (dict(fast6, n_refine=1, stall_iters=10),
+              dict(safe8, n_refine=1), True),
+        # warm ALL candidates (the brake/dodge solves set the stage max
+        # and PQR's (0,1)-only warm start left them cold)
+        "S": (dict(fast6, n_refine=1, stall_iters=10),
+              dict(safe8, n_refine=1), True),
+        # + single regularization rung on the mpc6 stage only (ladder
+        # cost ~ linear in n_deltas; the mpc8 rung keeps 2 for safety)
+        "T": (dict(fast6, n_refine=1, stall_iters=10, n_deltas=1),
+              dict(safe8, n_refine=1), True),
+    }
+    # round 5: mpc8 candidate 0 polish-starts from mpc6's full iterate
+    # (z_override) — mpc8 = mpc6 minus the terminal rows, so the slow
+    # brake-from-scratch solves (65-95 iterations, the stage-2 convoy
+    # floor) become a few-iteration polish
+    OVERRIDE = {
+        "U": (dict(fast6, n_refine=1, stall_iters=10),
+              dict(safe8, n_refine=1), True),
+        # + tighter mpc8 stall for the leftover from-scratch candidates
+        "V": (dict(fast6, n_refine=1, stall_iters=10),
+              dict(safe8, n_refine=1, stall_iters=12), True),
+    }
+    CONFIGS.update(OVERRIDE)
+    CONFIGS.update(WARM)
+    shift1 = lambda a: np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    warm_args = None
+    if any(c in WARM for c in which):
+        warm_args = (take(shift1(fx["prev_lam"])),
+                     take(shift1(fx["prev_mu"])))
 
     for name in which:
         cfg = CONFIGS[name]
@@ -174,17 +208,22 @@ def main():
         else:
             (kw6, gated), kw8 = cfg, cfg[0]
         kw = {"mpc6": kw6, "mpc8": kw8} if kw6 is not kw8 else kw6
+        wa = warm_args if name in WARM else None
+        wc = (0, 1, 2, 3, 4) if name in ("S", "T") else (0, 1)
         ms6 = make_multistart_solver(
             spec_fix, make_obca_solver(spec_fix, IPMOptions(**kw6)),
-            init_vars, 5)
+            init_vars, 5, warm_cands=wc)
         ms8 = make_multistart_solver(
             spec_fix8, make_obca_solver(spec_fix8, IPMOptions(**kw8)),
-            init_vars, 5)
+            init_vars, 5, warm_cands=wc)
+
+        use_override = name in OVERRIDE
 
         if gated:
-            def sol_fix(d, c):
-                r6 = ms6(d, c)[0]
-                r8 = ms8(d, c, r6.feas)[0]
+            def sol_fix(d, c, *w):
+                r6 = ms6(d, c, None, w or None)[0]
+                r8 = ms8(d, c, r6.feas, w or None,
+                         dict(r6.z) if use_override else None)[0]
                 use8 = ~r6.feas & r8.feas
                 m = lambda a, b: jnp.where(use8, b, a)
                 return r6._replace(
@@ -192,15 +231,16 @@ def main():
                     viol=m(r6.viol, r8.viol), feas=r6.feas | r8.feas,
                     iters=r6.iters + r8.iters)
         else:
-            def sol_fix(d, c):
+            def sol_fix(d, c, *w):
                 r6 = ms6(d, c)[0]
                 r8 = ms8(d, c)[0]
                 return r6._replace(feas=r6.feas | r8.feas,
                                    iters=jnp.maximum(r6.iters, r8.iters))
 
         runner = jax.jit(jax.vmap(sol_fix), device=dev)
+        run_args = (datafix, candsfix) + (wa if wa is not None else ())
         t0 = time.time()
-        res = runner(datafix, candsfix)
+        res = runner(*run_args)
         jax.block_until_ready(res.iters)
         log(f"[{name}] compile+first: {time.time() - t0:.1f} s")
         times = []
@@ -213,7 +253,7 @@ def main():
             cp = jax.device_put(jax.tree.map(
                 lambda a: a * (1.0 + eps), candsfix), dev)
             t0 = time.time()
-            res = runner(datafix, cp)
+            res = runner(*((datafix, cp) + (wa if wa is not None else ())))
             jax.block_until_ready(res.iters)
             times.append(time.time() - t0)
         it = np.asarray(res.iters)

@@ -43,10 +43,15 @@ for name in DEMOS:
     r = ClosedLoopRunner(get_demo(name), record_problems=True)
     res = r.run()
     n_fix = 0
-    for p in r.problems:
+    for i, p in enumerate(r.problems):
         if not p["fixtime"] or not bool(p["res"].feas):
             continue
         d = p["data"]
+        # previous step's converged OBCA duals (same (n_k, nO, E) shape
+        # in every variant at N_fix == N_free) — the receding-horizon
+        # warm start the production loop carries; step 0 is free-time so
+        # every fix row has a predecessor
+        zprev = r.problems[i - 1]["res"].z
         rows.append({
             "demo": name,
             "k": p["k"],
@@ -59,6 +64,8 @@ for name in DEMOS:
             "dyn_delta": np.asarray(p["dyn_delta"], np.float64),
             "sensed": np.asarray(p["sensed"], np.float64),
             "xref": np.asarray(d.xref, np.float64),
+            "prev_lam": np.asarray(zprev["lam"], np.float64),
+            "prev_mu": np.asarray(zprev["mu"], np.float64),
         })
         n_fix += 1
     print(f"{name}: {n_fix} feasible fix-time steps recorded", flush=True)
@@ -76,5 +83,7 @@ np.savez_compressed(
     dyn_delta=np.stack([r["dyn_delta"] for r in rows]),
     sensed=np.stack([r["sensed"] for r in rows]),
     xref=np.stack([r["xref"] for r in rows]),
+    prev_lam=np.stack([r["prev_lam"] for r in rows]),
+    prev_mu=np.stack([r["prev_mu"] for r in rows]),
 )
 print(f"wrote {out}: {len(rows)} fix-time replan rows")

@@ -166,7 +166,8 @@ _PIN_RHO = 1.0  # curvature of the padded-dual zero penalty
 _T_MIN = 1e-4   # src/obca.py:963 lower Topt bound
 
 
-def init_vars(spec: OBCASpec, data: OBCAData, x_init=None, warm_duals=True):
+def init_vars(spec: OBCASpec, data: OBCAData, x_init=None, warm_duals=True,
+              lam_init=None, mu_init=None):
     """Initial variables for a solve.
 
     The reference cold-starts every replan (CasADi zeros, Topt init 1,
@@ -180,6 +181,10 @@ def init_vars(spec: OBCASpec, data: OBCAData, x_init=None, warm_duals=True):
     Args:
       x_init: optional (3, N+1) state guess; defaults to the reference
         window with column 0 forced to x0.
+      lam_init/mu_init: optional explicit OBCA dual initializations
+        ((n_k, nO, E) / (n_k, nO, 4)) overriding the geometric warm
+        start — used by the receding-horizon loop to shift-warm-start
+        from the previous step's converged multipliers.
     """
     dtype = data.x0.dtype
     N = spec.N
@@ -201,7 +206,11 @@ def init_vars(spec: OBCASpec, data: OBCAData, x_init=None, warm_duals=True):
     w0 = jnp.clip(jnp.diff(x[2]) / dt, data.u_lo[1], data.u_hi[1])
     u = jnp.stack([v0, w0])
 
-    if warm_duals:
+    if lam_init is not None:
+        lam_mask, obs_mask = _dual_masks(spec, data)
+        lam = jnp.asarray(lam_init, dtype) * lam_mask[None]
+        mu = jnp.asarray(mu_init, dtype) * obs_mask[None, :, None]
+    elif warm_duals:
         lam, mu = init_duals(spec, data, x)
     else:
         lam = jnp.zeros((spec.n_k, spec.n_obs, spec.e_max), dtype)

@@ -140,7 +140,8 @@ def candidate_inits_traced(xref, x0, dyn_boxes=None, y_bounds=None,
     return jnp.stack(cands)
 
 
-def make_multistart_solver(spec, solve, init_vars_fn, n_candidates):
+def make_multistart_solver(spec, solve, init_vars_fn, n_candidates,
+                           warm_cands=(0, 1)):
     """Wrap a single-problem solver into an n-candidate multi-start.
 
     Returns ``msolve(data, x_inits (nC, 3, N+1)) -> (result_tree, best_idx)``
@@ -156,11 +157,44 @@ def make_multistart_solver(spec, solve, init_vars_fn, n_candidates):
     batch: the host driver skips them with Python control flow
     (closed_loop.py:355-373); under ``vmap``/``scan`` the skip must be a
     masked ``done`` instead.
+
+    The optional ``warm=(lam0, mu0)`` argument shift-warm-starts the OBCA
+    duals of the candidates in ``warm_cands`` (default: the window and
+    shifted-previous-plan candidates, whose trajectories extend the
+    previous step's plan) from the previous replan's converged
+    multipliers; the remaining candidates keep the geometric
+    ``init_duals``. The reference cold-starts every replan
+    (src/obca.py:839-856); warm duals cut the iteration count of the
+    receding-horizon hot path.
     """
 
-    def msolve(data, x_inits, skip=None):
-        def one(x_init):
+    warm_mask = np.zeros(n_candidates, bool)
+    warm_mask[[c for c in warm_cands if c < n_candidates]] = True
+
+    def msolve(data, x_inits, skip=None, warm=None, z_override=None):
+        def one(x_init, use_warm, is_c0):
             z0 = init_vars_fn(spec, data, x_init=x_init)
+            if warm is not None:
+                # masked per-candidate dual selection keeps the candidate
+                # axis inside ONE vmapped while_loop (a Python branch per
+                # candidate would compile 5 sequential loops). warm is
+                # (lam, mu) or (lam, mu, valid) — `valid` gates out steps
+                # with no usable predecessor (k = 0 carries zeros).
+                uw = use_warm if len(warm) < 3 else (use_warm & warm[2])
+                z0w = init_vars_fn(spec, data, x_init=x_init,
+                                   lam_init=warm[0], mu_init=warm[1])
+                z0 = {**z0,
+                      "lam": jnp.where(uw, z0w["lam"], z0["lam"]),
+                      "mu": jnp.where(uw, z0w["mu"], z0["mu"])}
+            if z_override is not None:
+                # candidate 0 starts from a FULL iterate of a sibling
+                # solve (e.g. the mpc8 fallback from mpc6's solution —
+                # the same NLP minus the terminal rows, so the sibling's
+                # primal + OBCA duals are a near-solution polish start;
+                # the remaining candidates keep ladder robustness)
+                z0 = jax.tree.map(
+                    lambda a, b: jnp.where(is_c0, a.astype(b.dtype), b),
+                    z_override, z0)
             if skip is None:
                 return solve(data, z0)
             st = solve.init(data, z0)
@@ -168,7 +202,10 @@ def make_multistart_solver(spec, solve, init_vars_fn, n_candidates):
             st = solve.iterate(st, data, 10 ** 9)  # opt.max_iters clamps
             return solve.finalize(st, data)
 
-        res = jax.vmap(one)(x_inits)
+        is_c0 = np.zeros(n_candidates, bool)
+        is_c0[0] = True
+        res = jax.vmap(one, in_axes=(0, 0, 0))(
+            x_inits, jnp.asarray(warm_mask), jnp.asarray(is_c0))
         # prefer feasible, then lowest objective
         big = jnp.asarray(1e18, res.f.dtype)
         score = jnp.where(res.feas, res.f, big + res.viol)

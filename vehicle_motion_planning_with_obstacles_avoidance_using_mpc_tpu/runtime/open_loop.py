@@ -90,7 +90,17 @@ def _resampled_astar_init(scn, demo, N, dtype, dilation=0, align_start=False):
 
 def run_open_loop(demo_name: str, N: int = 50, N_fix: int | None = None,
                   params: MPCParams | None = None, dtype=jnp.float64,
-                  ipm_options: IPMOptions | None = None) -> OpenLoopResult:
+                  ipm_options: IPMOptions | None = None,
+                  fix_phase: bool = True) -> OpenLoopResult:
+    """Two-phase open-loop pipeline (see module docstring).
+
+    ``fix_phase=False`` stops after the free-time phase even when the
+    demo has dynamic obstacles — the reference's ``calc_time`` benchmark
+    entry does exactly this (src/simulation.py:225-229), and on demo1 at
+    N >= 50 the fix-time phase is genuinely marginal (the crossing
+    obstacle's predicted sweep covers the whole corridor over the long
+    horizon), so callers that only need the free-time plan skip it.
+    """
     demo = get_demo(demo_name)
     p = params or demo.params
     scn, shape = build_scenario(demo, dtype=dtype)
@@ -129,7 +139,7 @@ def run_open_loop(demo_name: str, N: int = 50, N_fix: int | None = None,
         "iters": int(res_f.iters), "kkt_err": float(res_f.kkt_err),
     }
 
-    has_dyn = bool(np.asarray(scn.d_mask).any())
+    has_dyn = bool(np.asarray(scn.d_mask).any()) and fix_phase
     if not has_dyn:
         return OpenLoopResult(
             demo=demo_name, feas=free_rec["feas"], x=free_rec["x"],

@@ -54,6 +54,8 @@ class LoopState(NamedTuple):
     Ts_opt: jnp.ndarray    # () last optimal step duration
     dyn_pos: jnp.ndarray   # (nD, 2)
     prev_plan: jnp.ndarray  # (3, N+1)
+    prev_lam: jnp.ndarray  # (n_k, nO, E) previous step's OBCA duals
+    prev_mu: jnp.ndarray   # (n_k, nO, 4)
     k: jnp.ndarray         # () int32
     active: jnp.ndarray    # () bool — still replanning
     reached: jnp.ndarray   # () bool
@@ -63,11 +65,19 @@ class LoopState(NamedTuple):
 def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                       max_steps: int = 30,
                       options: IPMOptions | None = None,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, warm_duals: bool = False):
     """Build ``rollout(scn, ref_path, ref_len) -> (final_state, traj)``.
 
     ref_path: (3, L) reference (padding: repeat the last column);
     ref_len: () number of valid columns. jit/vmap/pjit the result freely.
+
+    ``warm_duals`` shift-warm-starts each replan's window/shifted-prev
+    candidates from the previous step's converged OBCA multipliers
+    (multistart ``warm=``) instead of the geometric ``init_duals`` —
+    the receding-horizon warm start the reference never had (it
+    cold-starts CasADi per replan, src/obca.py:839-856). Off by default:
+    it selects the same optima but changes iteration counts, and the
+    golden host-parity fixtures were recorded without it.
     """
     if p.N_free != p.N_fix:
         raise NotImplementedError("scanned loop requires N_fix == N_free")
@@ -115,6 +125,12 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
         )(scn.dyn_info)[:, :4]  # (nD, 4, 2)
 
         def step(st: LoopState, _):
+            # receding-horizon dual shift: window moved one step forward,
+            # so step j's multipliers start from the previous plan's j+1
+            warm = None
+            if warm_duals:
+                shift1 = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+                warm = (shift1(st.prev_lam), shift1(st.prev_mu), st.k > 0)
             # 1. world update (src/closed_loop.py:445-486)
             started = st.k > scn.d_start_time
             dyn_pos = st.dyn_pos + jnp.where(
@@ -147,7 +163,8 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             # contribute zero to the vmapped while_loop trip count,
             # matching the host driver's Python-side ladder gating
             # (closed_loop.py:262-373).
-            res_free0, _ = ms_free(data_free, cands_f, fixtime | ~st.active)
+            res_free0, _ = ms_free(data_free, cands_f, fixtime | ~st.active,
+                                   warm)
             # free-branch mpc8 fallback (masked select — mirrors the host
             # driver's ladder, closed_loop.py:264-286): fixed-time
             # no-terminal solve at Ts_cur with the fix-branch weights.
@@ -158,12 +175,12 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                 alpha_max=p.alpha_max, ego=p.ego, dmin=p.dmin,
             )
             res_fb, _ = ms_fb(data_fb, cands_f,
-                              fixtime | ~st.active | res_free0.feas)
+                              fixtime | ~st.active | res_free0.feas, warm)
             use_fb = ~res_free0.feas
             mergef = lambda a, b: jnp.where(use_fb, b, a)
             res_free = SimpleNamespace(
                 z={k: mergef(res_free0.z[k], res_fb.z[k])
-                   for k in ("x", "u")},
+                   for k in ("x", "u", "lam", "mu")},
                 feas=mergef(res_free0.feas, res_fb.feas),
             )
             Ts_opt_free = jnp.where(
@@ -200,9 +217,11 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                 y_bounds=(scn.x_lo[1], scn.x_hi[1]),
                 prev_plan=st.prev_plan,
             )
-            res_fixT, _ = ms_fixT(data_fix, cands_x, ~fixtime | ~st.active)
+            res_fixT, _ = ms_fixT(data_fix, cands_x, ~fixtime | ~st.active,
+                                  warm)
             res_fix8, _ = ms_fix8(data_fix, cands_x,
-                                  ~fixtime | ~st.active | res_fixT.feas)
+                                  ~fixtime | ~st.active | res_fixT.feas,
+                                  warm)
             # mpc6 -> mpc8 fallback ladder (src/closed_loop.py:393-398) as a
             # masked select. The two variants differ in dual sizes (terminal
             # set adds inequality rows), so merge only the primal fields.
@@ -210,7 +229,7 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             merge = lambda a, b: jnp.where(use8, b, a)
             res_fix = SimpleNamespace(
                 z={k: merge(res_fixT.z[k], res_fix8.z[k])
-                   for k in ("x", "u")},
+                   for k in ("x", "u", "lam", "mu")},
                 feas=merge(res_fixT.feas, res_fix8.feas),
             )
 
@@ -227,6 +246,10 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             x0_new = jnp.where(ok, x_plan[:, 1], st.x0)
             u0_new = jnp.where(ok, u_plan[:, 0], st.u0)
             prev_new = jnp.where(ok, x_plan, st.prev_plan)
+            lam_new = jnp.where(
+                ok, pick(res_fix.z["lam"], res_free.z["lam"]), st.prev_lam)
+            mu_new = jnp.where(
+                ok, pick(res_fix.z["mu"], res_free.z["mu"]), st.prev_mu)
             reached = ((x0_new[0] - scn.goal[0]) ** 2
                        + (x0_new[1] - scn.goal[1]) ** 2) < 0.1
             failed = st.failed | (st.active & ~feas)
@@ -239,6 +262,8 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                 Ts_opt=jnp.where(ok, Ts_opt_new, st.Ts_opt),
                 dyn_pos=jnp.where(st.active, dyn_pos, st.dyn_pos),
                 prev_plan=prev_new,
+                prev_lam=lam_new,
+                prev_mu=mu_new,
                 k=st.k + st.active.astype(jnp.int32),
                 active=active_new,
                 reached=st.reached | (st.active & reached),
@@ -258,6 +283,9 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             Ts_opt=jnp.asarray(p.Ts, dtype),
             dyn_pos=spawn.astype(dtype),
             prev_plan=jnp.tile(scn.start.astype(dtype)[:, None], (1, N + 1)),
+            prev_lam=jnp.zeros(
+                (spec_free.n_k, shape.n_obs, shape.e_max), dtype),
+            prev_mu=jnp.zeros((spec_free.n_k, shape.n_obs, 4), dtype),
             k=jnp.asarray(0, jnp.int32),
             active=jnp.asarray(True),
             reached=jnp.asarray(False),
