@@ -436,6 +436,41 @@ def main():
     log(f"replan N=5 latency: p50 {q['p50']:.1f} ms  p90 {q['p90']:.1f}  "
         f"p99 {q['p99']:.1f}  feas {feas5}/{reps_lat}")
 
+    # ---- fix-time single-scenario replan latency -------------------------
+    # The latency a real robot pays on the PRODUCTION step (23-30 of 30
+    # closed-loop steps are fix-time): one recorded replan through the
+    # gated mpc6 -> mpc8 ladder, single lane, host semantics (mpc8 only
+    # when mpc6's multistart is infeasible — closed_loop.py:355-360).
+    reps_fix = min(int(os.environ.get("BENCH_LAT_REPS", "30")), n_rows)
+    one_fix = lambda i: (jax.tree.map(lambda a: a[i], datafix),
+                         candsfix[i])
+    jms6 = jax.jit(ms_fix, device=dev)
+    jms8 = jax.jit(lambda d, c, z: ms_fix8(d, c, None, None, z),
+                   device=dev)
+    d0f, c0f = one_fix(0)
+    r = jms6(jax.device_put(d0f, dev), jax.device_put(c0f, dev))[0]
+    _ = float(np.asarray(r.iters))
+    r8w = jms8(jax.device_put(d0f, dev), jax.device_put(c0f, dev),
+               dict(r.z))[0]
+    _ = float(np.asarray(r8w.iters))
+    latf = MetricsLogger()
+    feasf = 0
+    for i in range(reps_fix):
+        di, ci = one_fix(i)
+        di = jax.device_put(di, dev)
+        ci = jax.device_put(ci, dev)
+        with latf.timer("replan_fix_ms"):
+            r = jms6(di, ci)[0]
+            ok = bool(np.asarray(r.feas))  # fetch blocks (remote async)
+            if not ok:
+                r8 = jms8(di, ci, dict(r.z))[0]
+                ok = bool(np.asarray(r8.feas))
+        feasf += int(ok)
+    qf = latf.quantiles("replan_fix_ms")
+    log(f"replan fix N={Nf} latency: p50 {qf['p50']:.1f} ms  "
+        f"p90 {qf['p90']:.1f}  p99 {qf['p99']:.1f}  "
+        f"feas {feasf}/{reps_fix}")
+
     # ---- long-horizon open-loop solve at N = 74 --------------------------
     # The reference's headline benchmark: free-time OBCA over its demo9
     # A*-path-length horizon, 136.69 s on the author's CPU
@@ -517,6 +552,9 @@ def main():
         "replan_N5_p50_ms": round(q["p50"], 2),
         "replan_N5_p99_ms": round(q["p99"], 2),
         "replan_N5_feasible": feas5 / reps_lat,
+        "replan_fix_p50_ms": round(qf["p50"], 2),
+        "replan_fix_p99_ms": round(qf["p99"], 2),
+        "replan_fix_feasible": feasf / reps_fix,
         # reference solves the same N=74 free-time NLP in 136.69 s
         # (src/simulation.py:230)
         "openloop_N74_s": round(t74, 3),

@@ -152,21 +152,38 @@ def main():
 
     roll = make_scan_rollout(shape, p, max_steps=steps, dtype=dtype)
 
-    # ---- scaling table: same chunk workload at each device count
+    # Single-accelerator path: plain jit(vmap) — the NamedSharding /
+    # in_shardings machinery of sharded_rollout never finishes compiling
+    # on the remote-TPU backend (measured: plain vmap compiles the same
+    # 30-step rollout in ~150 s; the sharded wrapper is still compiling
+    # at 25 min). Multi-device meshes keep the sharded path.
+    def make_runner(nd):
+        if accel and nd == 1:
+            vroll = jax.jit(jax.vmap(roll),
+                            device=jax.devices(accel)[0])
+            return vroll, lambda tree: jax.device_put(
+                tree, jax.devices(accel)[0])
+        mesh = make_mesh(nd)
+        return sharded_rollout(roll, mesh), (
+            lambda tree: shard_along(tree, mesh))
+
+    # ---- scaling table: same chunk workload at each device count.
+    # SWEEP_SKIP_SCALING=1 skips it — resume attempts after a remote-
+    # worker crash shouldn't re-pay (and re-risk) the extra dispatches.
     scaling = {}
+    if os.environ.get("SWEEP_SKIP_SCALING", "0") == "1":
+        devs = []
     chunk_scn = jax.tree.map(lambda a: np.asarray(a)[:chunk], scn_all)
     for nd in devs:
-        mesh = make_mesh(nd)
-        sroll = sharded_rollout(roll, mesh)
-        args = shard_along(
-            (chunk_scn, refs[:chunk], ref_lens[:chunk]), mesh)
+        sroll, place = make_runner(nd)
+        args = place((chunk_scn, refs[:chunk], ref_lens[:chunk]))
         final, traj = sroll(*args)  # compile + warmup
-        jax.block_until_ready(final.x0)
+        _ = np.asarray(final.x0)
         ts = []
         for _ in range(2):
             t0 = time.time()
             final, traj = sroll(*args)
-            jax.block_until_ready(final.x0)
+            _ = np.asarray(final.x0)  # fetch blocks (remote async)
             ts.append(time.time() - t0)
         t = min(ts)
         replans = int(np.asarray(traj["active"]).sum())
@@ -179,12 +196,11 @@ def main():
             eff[nd] = scaling[nd] / (nd * scaling[1])
 
     # ---- the sweep proper: all chunks on the full mesh, checkpointed
-    mesh = make_mesh(max_dev)
-    sroll = sharded_rollout(roll, mesh)
+    sroll, place = make_runner(max_dev)
     ckpt = SweepCheckpointer(ckpt_dir, keep=2)
     start_chunk = 0
     agg = {"replans": 0, "reached": 0, "failed": 0, "scenarios": 0,
-           "wall_s": 0.0}
+           "wall_s": 0.0, "progress": 0.0}
     if resume:
         step_id, tree = ckpt.latest()
         if step_id is not None:
@@ -196,12 +212,21 @@ def main():
     for ci in range(start_chunk, n_chunks):
         sl = slice(ci * chunk, (ci + 1) * chunk)
         cscn = jax.tree.map(lambda a: np.asarray(a)[sl], scn_all)
-        args = shard_along((cscn, refs[sl], ref_lens[sl]), mesh)
+        args = place((cscn, refs[sl], ref_lens[sl]))
         with metrics.timer("chunk_ms"):
             t0 = time.time()
             final, traj = sroll(*args)
-            jax.block_until_ready(final.x0)
+            # device_get, not block_until_ready — the latter does not
+            # reliably block on the remote backend
+            xf = np.asarray(final.x0)
             dt = time.time() - t0
+        # goal progress 1 - d_end/d0 per scenario (caps cannot reach
+        # every goal in `steps` steps; reached_frac alone under-reports)
+        s_np = np.asarray(cscn.start)[:, :2]
+        g_np = np.asarray(cscn.goal)[:, :2]
+        d0 = np.linalg.norm(s_np - g_np, axis=1)
+        d_end = np.linalg.norm(xf[:, :2] - g_np, axis=1)
+        agg["progress"] += float(np.sum(1.0 - d_end / np.maximum(d0, 1e-9)))
         agg["replans"] += int(np.asarray(traj["active"]).sum())
         agg["reached"] += int(np.asarray(final.reached).sum())
         agg["failed"] += int(np.asarray(final.failed).sum())
@@ -231,6 +256,8 @@ def main():
         "scenarios": agg["scenarios"],
         "reached_frac": round(agg["reached"] / max(agg["scenarios"], 1), 4),
         "failed_frac": round(agg["failed"] / max(agg["scenarios"], 1), 4),
+        "mean_progress_frac": round(
+            agg["progress"] / max(agg["scenarios"], 1), 4),
         "scaling_replans_per_s": {str(k): round(v, 2)
                                   for k, v in scaling.items()},
         "scaling_efficiency": {str(k): round(v, 3) for k, v in eff.items()},

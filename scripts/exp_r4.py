@@ -1,11 +1,44 @@
-"""Round-4 experiment: make the fix-time production step fast.
+"""Round-4 experiment campaign: make the fix-time production step fast.
 
 BENCH_r03 showed the fix-time mpc6+mpc8 ladder at 40.4 steps/s with an
 iteration tail slamming the cap (median 41, p90 = max = 100) and every
 step paying all 10 NLPs (5-candidate mpc6 AND mpc8) unconditionally.
-Three levers, measured here cumulatively on the REAL replan population
-(goldens/bench_fix_fixture.npz — same batch as bench.py's fix stage):
 
+MEASURED CONCLUSIONS (TPU v5e behind the remote tunnel, B=256, real
+replan population; full logs in the round-4 work notes):
+
+  * Skip-gating mpc8 alone (B): 40.2 steps/s — no wall gain. The
+    vmapped while_loop's trip count is the batch MAX, and that was
+    pinned by locally-infeasible lanes burning the cap.
+  * Naive stall cut + free-family knobs (C-F): up to 77.5 steps/s but
+    ladder feasibility drops to 0.957-0.992 — cutting slow-but-
+    converging lanes loses solutions. NOT shippable.
+  * Viol-gated stall (G-K): feasibility restored to 1.0000 everywhere,
+    but the protected slow lanes re-pin the trip count (40-45 steps/s).
+  * ASYMMETRIC ladder (L-O, the shipped design): mpc6 — which has the
+    mpc8 rung behind it — stalls aggressively (stall_iters=10, no viol
+    gate, relative-progress counting); mpc8 — the last rung — keeps
+    the protective gate. 65 steps/s at feasibility 1.0000.
+  * Shift-warm-started duals from the previous step (P-R): iteration
+    medians drop 23 -> 20 but wall time is unchanged — the tail lanes
+    that set the trip count are brake/dodge candidates, not the warm-
+    started window/shift ones. Warming ALL candidates (S) flips basins
+    and loses 2/256 lanes. Neutral; not shipped in the bench config.
+  * mpc8 polish-start from mpc6's full iterate (U/V, z_override):
+    trims the tail (max 117 -> 92-107) at feasibility 1.0000; shipped.
+  * Compaction re-measured honestly (exp_r4_compact.py): 16.4 steps/s
+    — 3.5x less wasted work but ~10 dispatches/run at ~1.5 s per
+    dispatch over the tunnel. Monolithic stays. On-chip the useful
+    work is ~0.5 s/batch (22k lane-iters x ~21 us) => compaction is
+    the first thing to revisit on local hardware.
+  * exp_r4_trip.py: per-lane-iteration cost is 20-24 us FLAT across
+    batch 256-2560 — the body is throughput-bound, and the remaining
+    gap to the ~120 steps/s target is per-iteration op cost (the
+    11.8k-line HLO body), not trip count. jax.block_until_ready does
+    NOT reliably block on the remote backend; all timing here is
+    fetch-based.
+
+Config matrix (cumulative):
   A  r3 baseline             (n_deltas=2 + option defaults, ungated mpc8)
   B  + skip-gated mpc8       (runs only on mpc6-infeasible lanes)
   C  + stall_iters           (divergence cut: locally-infeasible NLPs
@@ -13,6 +46,10 @@ Three levers, measured here cumulatively on the REAL replan population
   D  + acceptable_iter=1     (stop at the first acceptable iterate)
   E  + n_refine=1, n_backtracks=8  (the free-family tuning)
   F  + n_deltas=1            (single regularization rung)
+  G-K  viol-gated stall variants
+  L-O  asymmetric ladder (aggressive mpc6 / protected mpc8)
+  P-T  warm-started duals variants
+  U-V  mpc8 polish-start from mpc6's iterate
 
 Quality gates printed per config: ladder feasibility fraction (must stay
 1.000), viol p99, per-lane iteration quantiles.
