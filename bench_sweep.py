@@ -200,12 +200,12 @@ def main():
     ckpt = SweepCheckpointer(ckpt_dir, keep=2)
     start_chunk = 0
     agg = {"replans": 0, "reached": 0, "failed": 0, "scenarios": 0,
-           "wall_s": 0.0, "progress": 0.0}
+           "wall_s": 0.0, "progress": 0.0, "skipped": 0}
     if resume:
         step_id, tree = ckpt.latest()
         if step_id is not None:
             start_chunk = int(tree["next_chunk"])
-            agg = {k: type(v)(tree["agg"][k]) for k, v in agg.items()}
+            agg = {k: type(v)(tree["agg"].get(k, v)) for k, v in agg.items()}
             log(f"resumed at chunk {start_chunk}: {agg}")
 
     n_chunks = total // chunk
@@ -213,13 +213,31 @@ def main():
         sl = slice(ci * chunk, (ci + 1) * chunk)
         cscn = jax.tree.map(lambda a: np.asarray(a)[sl], scn_all)
         args = place((cscn, refs[sl], ref_lens[sl]))
-        with metrics.timer("chunk_ms"):
-            t0 = time.time()
-            final, traj = sroll(*args)
-            # device_get, not block_until_ready — the latter does not
-            # reliably block on the remote backend
-            xf = np.asarray(final.x0)
-            dt = time.time() - t0
+        try:
+            with metrics.timer("chunk_ms"):
+                t0 = time.time()
+                final, traj = sroll(*args)
+                # device_get, not block_until_ready — the latter does
+                # not reliably block on the remote backend
+                xf = np.asarray(final.x0)
+                dt = time.time() - t0
+        except Exception as e:
+            # Elastic recovery (SURVEY section 5): the remote TPU worker
+            # can crash mid-execution (observed: a specific 64-wide
+            # 30-step program faults the worker on one chunk's data
+            # while the same lanes pass in smaller programs — a backend
+            # bug we must survive). The backend is dead for this
+            # process, so: checkpoint the chunk as SKIPPED, exit 3; the
+            # resume wrapper restarts and continues past it.
+            log(f"chunk {ci + 1}/{n_chunks} crashed the backend "
+                f"({type(e).__name__}: {str(e)[:120]}) — marking "
+                f"skipped, exiting for restart")
+            agg["skipped"] += chunk
+            ckpt.save(ci + 1, {
+                "next_chunk": np.asarray(ci + 1),
+                "agg": {k: np.asarray(v) for k, v in agg.items()},
+            })
+            raise SystemExit(3)
         # goal progress 1 - d_end/d0 per scenario (caps cannot reach
         # every goal in `steps` steps; reached_frac alone under-reports)
         s_np = np.asarray(cscn.start)[:, :2]
@@ -258,6 +276,7 @@ def main():
         "failed_frac": round(agg["failed"] / max(agg["scenarios"], 1), 4),
         "mean_progress_frac": round(
             agg["progress"] / max(agg["scenarios"], 1), 4),
+        "skipped_scenarios": agg["skipped"],
         "scaling_replans_per_s": {str(k): round(v, 2)
                                   for k, v in scaling.items()},
         "scaling_efficiency": {str(k): round(v, 3) for k, v in eff.items()},

@@ -243,13 +243,19 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             Ts_cur_new = pick(Ts_fix, st.Ts_cur)
 
             ok = st.active & feas
-            x0_new = jnp.where(ok, x_plan[:, 1], st.x0)
-            u0_new = jnp.where(ok, u_plan[:, 0], st.u0)
-            prev_new = jnp.where(ok, x_plan, st.prev_plan)
+            x0_new = jnp.where(ok, x_plan[:, 1], st.x0).astype(dtype)
+            u0_new = jnp.where(ok, u_plan[:, 0], st.u0).astype(dtype)
+            prev_new = jnp.where(ok, x_plan, st.prev_plan).astype(dtype)
+            # explicit casts: under the x64 test config an f32 rollout's
+            # solver results promote to f64 through the f64 z_scale
+            # constants (caught by the f32 demo-gate test) — the carry
+            # must keep the rollout dtype
             lam_new = jnp.where(
-                ok, pick(res_fix.z["lam"], res_free.z["lam"]), st.prev_lam)
+                ok, pick(res_fix.z["lam"], res_free.z["lam"]),
+                st.prev_lam).astype(dtype)
             mu_new = jnp.where(
-                ok, pick(res_fix.z["mu"], res_free.z["mu"]), st.prev_mu)
+                ok, pick(res_fix.z["mu"], res_free.z["mu"]),
+                st.prev_mu).astype(dtype)
             reached = ((x0_new[0] - scn.goal[0]) ** 2
                        + (x0_new[1] - scn.goal[1]) ** 2) < 0.1
             failed = st.failed | (st.active & ~feas)
@@ -258,8 +264,8 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             new = LoopState(
                 x0=x0_new,
                 u0=u0_new,
-                Ts_cur=jnp.where(ok, Ts_cur_new, st.Ts_cur),
-                Ts_opt=jnp.where(ok, Ts_opt_new, st.Ts_opt),
+                Ts_cur=jnp.where(ok, Ts_cur_new, st.Ts_cur).astype(dtype),
+                Ts_opt=jnp.where(ok, Ts_opt_new, st.Ts_opt).astype(dtype),
                 dyn_pos=jnp.where(st.active, dyn_pos, st.dyn_pos),
                 prev_plan=prev_new,
                 prev_lam=lam_new,
