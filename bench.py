@@ -20,6 +20,20 @@ FLOP/MFU numbers are trip-count corrected: XLA's cost model counts a
 ``while_loop`` body once, so the body cost is scaled by the actually
 dispatched lane-iterations reported by the compacted driver.
 
+Roofline analysis (round 4, measured): the solver is neither MXU- nor
+HBM-bound — per-lane-iteration cost is ~20-24 us FLAT from batch 256 to
+2560 (scripts/exp_r4_trip.py), i.e. throughput scales linearly with
+lanes, and the measured lane-iteration rate is ~0.1% of the
+perfect-fusion HBM floor (state+data footprint ~40 KB/lane-iter vs
+819 GB/s). The binding constraint is per-op overhead and inter-fusion
+intermediate traffic across the ~12k-op iteration body (Jacobian
+materialization alone is ~0.5 MB/lane-iter, 25x the footprint); the
+next 10x therefore comes from collapsing the Newton body into a few
+fused kernels (hand-written Jacobian assembly or a Pallas mega-kernel),
+not from more iteration-count tuning — batch-max trips are already
+within ~1.7x of the per-lane median after the round-4 asymmetric-stall
+ladder.
+
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 Env overrides: BENCH_BATCH (256), BENCH_REPS (5), BENCH_ITERS (100),
 BENCH_CHUNK (24), BENCH_MINBUCKET (B//4), BENCH_COMPACT (0 — see the
@@ -241,28 +255,35 @@ def main():
             "dispatched_lane_iters": stats["dispatched_lane_iters"],
             "useful_lane_iters": stats["lane_iters"],
         }
-    # ---- HBM roofline (round-4 verdict #9): the solver is bandwidth-
-    # bound (tiny matrices, MFU < 1%), so the honest ceiling is bytes,
-    # not FLOPs. XLA's cost model reports bytes accessed for ONE
-    # while_loop body execution of the whole batch; the achievable
-    # iteration rate is HBM_BW / bytes_per_batch_iteration, and the
-    # solve-rate ceiling follows from the dispatched iteration count
-    # actually needed per solve.
+    # ---- HBM roofline (round-4 verdict #9): the solver is bandwidth/
+    # op-overhead-bound (tiny matrices, MFU < 1%), so the honest ceiling
+    # is bytes, not FLOPs. XLA's cost-model "bytes accessed" overcounts
+    # by >100x (it sums every op's operand bytes, intra-fusion included
+    # — it reported 62 MB/lane-iter and a "roofline" the measured rate
+    # exceeded). The defensible floor is the ITERATION FOOTPRINT: a
+    # perfectly-fused body must still read the solver state + problem
+    # data and write the state back once per iteration.
     try:
-        body_bytes = float(ca.get("bytes accessed", 0.0))
-        if body_bytes > 0 and flops_per_lane_iter is not None:
-            HBM_BW = 819e9  # v5e HBM ~819 GB/s
-            iters_ceiling = HBM_BW / body_bytes  # batch-iterations/s
-            trips = stats["dispatched_lane_iters"] / B  # while_loop trips
-            solves_ceiling = iters_ceiling / trips * B
-            extra.update({
-                "bytes_per_batch_iter": int(body_bytes),
-                "roofline_solves_per_s": round(solves_ceiling, 1),
-                "pct_of_hbm_roofline": round(
-                    100.0 * solves_per_s / solves_ceiling, 2),
-                "batch_iters_per_s_measured": round(trips / t, 1),
-                "batch_iters_per_s_roofline": round(iters_ceiling, 1),
-            })
+        lane_state_b = sum(np.asarray(l).nbytes
+                           for l in jax.tree.leaves(st0)) / B
+        lane_data_b = sum(np.asarray(l).nbytes
+                          for l in jax.tree.leaves(datab)) / B
+        min_bytes = 2 * lane_state_b + lane_data_b  # per lane-iteration
+        HBM_BW = 819e9  # v5e HBM ~819 GB/s
+        lane_iters_ceiling = HBM_BW / min_bytes
+        trips = stats["dispatched_lane_iters"] / B
+        measured_lane_iters_per_s = stats["dispatched_lane_iters"] / t
+        extra.update({
+            "lane_iter_footprint_bytes": int(min_bytes),
+            "lane_iters_per_s_measured": round(measured_lane_iters_per_s),
+            "lane_iters_per_s_hbm_floor_bound": round(lane_iters_ceiling),
+            # fraction of the perfect-fusion HBM bound achieved: the
+            # remaining gap is per-op overhead + intermediate traffic
+            # the ~12k-op iteration body spills between fusions
+            "pct_of_hbm_floor_bound": round(
+                100.0 * measured_lane_iters_per_s / lane_iters_ceiling, 2),
+            "while_trips_per_batch": round(trips, 1),
+        })
     except Exception as e:
         log(f"roofline accounting unavailable: {e}")
 
