@@ -26,6 +26,12 @@ replan population; full logs in the round-4 work notes):
     and loses 2/256 lanes. Neutral; not shipped in the bench config.
   * mpc8 polish-start from mpc6's full iterate (U/V, z_override):
     trims the tail (max 117 -> 92-107) at feasibility 1.0000; shipped.
+  * KKT factorization at reduced MXU precision (W/X,
+    kkt_matmul_precision='high' with 1-2 refinement passes): feasibility
+    collapses to 0.79-0.82 and median iterations triple — the bf16x3
+    Cholesky of near-contact systems produces steps the curvature test
+    rejects; refinement cannot rescue a rejected factorization. The
+    ladder stays at 'highest'.
   * Compaction re-measured honestly (exp_r4_compact.py): 16.4 steps/s
     — 3.5x less wasted work but ~10 dispatches/run at ~1.5 s per
     dispatch over the tunnel. Monolithic stays. On-chip the useful
@@ -229,6 +235,15 @@ def main():
         # + tighter mpc8 stall for the leftover from-scratch candidates
         "V": (dict(fast6, n_refine=1, stall_iters=10),
               dict(safe8, n_refine=1, stall_iters=12), True),
+        # round 6: KKT factorization at reduced MXU precision (the
+        # refinement passes absorb the solve error; profile_parts shows
+        # the factorization is ~70% of the iteration cost)
+        "W": (dict(fast6, n_refine=1, stall_iters=10,
+                   kkt_matmul_precision="high"),
+              dict(safe8, n_refine=1, kkt_matmul_precision="high"), True),
+        "X": (dict(fast6, n_refine=2, stall_iters=10,
+                   kkt_matmul_precision="high"),
+              dict(safe8, n_refine=2, kkt_matmul_precision="high"), True),
     }
     CONFIGS.update(OVERRIDE)
     CONFIGS.update(WARM)

@@ -65,7 +65,8 @@ class LoopState(NamedTuple):
 def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                       max_steps: int = 30,
                       options: IPMOptions | None = None,
-                      dtype=jnp.float32, warm_duals: bool = False):
+                      dtype=jnp.float32, warm_duals: bool = False,
+                      qr_rescue: bool = True):
     """Build ``rollout(scn, ref_path, ref_len) -> (final_state, traj)``.
 
     ref_path: (3, L) reference (padding: repeat the last column);
@@ -107,6 +108,29 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
     # dual equalities; the fixed-time no-terminal variant escapes it.
     ms_fb = make_multistart_solver(
         spec_fix8, make_obca_solver(spec_fix8, opt), init_vars, N_CAND_FREE)
+    # QR rescue rungs (host driver parity, closed_loop.py:309-316 and
+    # :361-373): Householder QR on the full saddle system survives the
+    # degenerate-contact stalls where the AL-kernel path rejects every
+    # regularization rung. Skip-gated — they iterate ONLY on lanes whose
+    # whole preceding ladder failed, so a normal step pays zero trips.
+    # Measured on the 1024-scenario random sweep: the pre-QR ladder
+    # failed 3.6% of scenarios; with the rescue the first 64 re-run
+    # scenarios failed 0. ``qr_rescue=False`` drops the rungs (smaller
+    # compiled program — the remote-TPU worker is markedly less stable
+    # executing the larger one).
+    if qr_rescue:
+        import dataclasses as _dc
+
+        opt_qr = _dc.replace(opt, kkt="qr")
+        ms_qrT = make_multistart_solver(
+            spec_fixT, make_obca_solver(spec_fixT, opt_qr), init_vars,
+            N_CAND_FIX)
+        ms_qr8 = make_multistart_solver(
+            spec_fix8, make_obca_solver(spec_fix8, opt_qr), init_vars,
+            N_CAND_FIX)
+        ms_qr_fb = make_multistart_solver(
+            spec_fix8, make_obca_solver(spec_fix8, opt_qr), init_vars,
+            N_CAND_FREE)
 
     def rollout(scn: Scenario, ref_path, ref_len):
         ref_path = jnp.asarray(ref_path, dtype)
@@ -176,12 +200,22 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             )
             res_fb, _ = ms_fb(data_fb, cands_f,
                               fixtime | ~st.active | res_free0.feas, warm)
+            # QR rescue (host rung 3, closed_loop.py:309-316)
+            if qr_rescue:
+                res_fbq, _ = ms_qr_fb(
+                    data_fb, cands_f,
+                    fixtime | ~st.active | res_free0.feas | res_fb.feas,
+                    warm)
+            else:
+                res_fbq = res_fb
+            use_fbq = ~res_free0.feas & ~res_fb.feas
             use_fb = ~res_free0.feas
-            mergef = lambda a, b: jnp.where(use_fb, b, a)
+            mergef = lambda a, b, c: jnp.where(
+                use_fbq, c, jnp.where(use_fb, b, a))
             res_free = SimpleNamespace(
-                z={k: mergef(res_free0.z[k], res_fb.z[k])
+                z={k: mergef(res_free0.z[k], res_fb.z[k], res_fbq.z[k])
                    for k in ("x", "u", "lam", "mu")},
-                feas=mergef(res_free0.feas, res_fb.feas),
+                feas=mergef(res_free0.feas, res_fb.feas, res_fbq.feas),
             )
             Ts_opt_free = jnp.where(
                 use_fb, st.Ts_cur, res_free0.z["T"] * st.Ts_cur)
@@ -222,16 +256,28 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             res_fix8, _ = ms_fix8(data_fix, cands_x,
                                   ~fixtime | ~st.active | res_fixT.feas,
                                   warm)
-            # mpc6 -> mpc8 fallback ladder (src/closed_loop.py:393-398) as a
-            # masked select. The two variants differ in dual sizes (terminal
-            # set adds inequality rows), so merge only the primal fields.
-            use8 = ~res_fixT.feas
-            merge = lambda a, b: jnp.where(use8, b, a)
-            res_fix = SimpleNamespace(
-                z={k: merge(res_fixT.z[k], res_fix8.z[k])
-                   for k in ("x", "u", "lam", "mu")},
-                feas=merge(res_fixT.feas, res_fix8.feas),
-            )
+            # QR rescue rungs (host closed_loop.py:361-373: terminal-set
+            # QR, then no-terminal QR), each gated on everything before
+            lads = [res_fixT, res_fix8]
+            if qr_rescue:
+                feas_68 = res_fixT.feas | res_fix8.feas
+                res_qT, _ = ms_qrT(data_fix, cands_x,
+                                   ~fixtime | ~st.active | feas_68, warm)
+                res_q8, _ = ms_qr8(
+                    data_fix, cands_x,
+                    ~fixtime | ~st.active | feas_68 | res_qT.feas, warm)
+                lads += [res_qT, res_q8]
+            # mpc6 -> mpc8 [-> QR] ladder (src/closed_loop.py:393-398 +
+            # the QR rescue) as a masked select over the primal fields
+            # (the variants differ in dual-row counts).
+            feas_any = res_fixT.feas
+            z_sel = {k: res_fixT.z[k] for k in ("x", "u", "lam", "mu")}
+            for r in lads[1:]:
+                use = ~feas_any
+                z_sel = {k: jnp.where(use, r.z[k], z_sel[k])
+                         for k in z_sel}
+                feas_any = feas_any | r.feas
+            res_fix = SimpleNamespace(z=z_sel, feas=feas_any)
 
             # 5. mode selection + plant step (src/closed_loop.py:400-429)
             sel = fixtime

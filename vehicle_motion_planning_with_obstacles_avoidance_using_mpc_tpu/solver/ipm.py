@@ -170,6 +170,14 @@ class IPMOptions:
     # to the iterative refinement in the KKT solve; 'default' (1 bf16
     # pass) stalls the iteration.
     matmul_precision: str = "highest"
+    # Separate precision for the KKT factorization/solve ladder (None =
+    # inherit matmul_precision). Running the WHOLE body at 'high'
+    # stalls convergence (r3: feas 0.70) — but that measurement mixed
+    # the residual/Jacobian/Hessian evaluations into the low-precision
+    # regime; the factorization alone is protected by the iterative-
+    # refinement passes, which re-solve against residuals computed at
+    # the outer precision.
+    kkt_matmul_precision: str = None
     # Build the Lagrangian Hessian by star-coloring HVP probes instead of
     # jax.hessian when the problem declares its arrow structure: the K
     # dual blocks are mutually uncoupled, so spine columns (one probe
@@ -764,10 +772,15 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                     good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
                     return sol, good
 
-                sols, goods = jax.vmap(kkt_solve_arrow_s)(ladder)
+                with jax.default_matmul_precision(
+                        opt.kkt_matmul_precision or opt.matmul_precision):
+                    sols, goods = jax.vmap(kkt_solve_arrow_s)(ladder)
             else:
-                sols, goods = _dense_kkt(zv, y, w, s, sigma, JE, JD, cE, cI,
-                                         mu_b, rhs1, rhs2, ladder, dd)
+                with jax.default_matmul_precision(
+                        opt.kkt_matmul_precision or opt.matmul_precision):
+                    sols, goods = _dense_kkt(zv, y, w, s, sigma, JE, JD,
+                                             cE, cI, mu_b, rhs1, rhs2,
+                                             ladder, dd)
             first = jnp.argmax(goods)  # first True, or 0 if none
             any_good = jnp.any(goods)
             pick = jnp.where(any_good, first, opt.n_deltas - 1)
