@@ -223,3 +223,41 @@ def test_spine_coloring_matches_full_coupled_motion(demo1_window_problem):
     np.testing.assert_allclose(
         np.asarray(rg.z["x"]), np.asarray(rc.z["x"]), rtol=1e-9, atol=1e-10
     )
+
+
+@pytest.mark.parametrize("variant", ["free", "fix_terminal", "fix_free_end"])
+def test_fused_matches_arrow(demo1_window_problem, variant):
+    """The fused analytic Newton body (kkt='fused', models/obca_struct)
+    must solve the exact same KKT systems as the AD-assembled arrow path:
+    same iterate sequence, same solution. Any error in a hand-derived
+    Jacobian/Hessian block diverges the iterates immediately."""
+    import dataclasses
+
+    spec0, data = demo1_window_problem
+    spec = dataclasses.replace(spec0, variant=variant)
+    s_fused = make_obca_solver(spec, IPMOptions(kkt="fused"))
+    s_arrow = make_obca_solver(spec, IPMOptions(kkt="arrow"))
+    rf = jax.jit(s_fused)(data)
+    ra = jax.jit(s_arrow)(data)
+    assert bool(rf.feas) == bool(ra.feas)
+    assert abs(int(rf.iters) - int(ra.iters)) <= 1, (
+        int(rf.iters), int(ra.iters))
+    np.testing.assert_allclose(
+        np.asarray(rf.z["x"]), np.asarray(ra.z["x"]), rtol=1e-6, atol=1e-7)
+
+
+def test_fused_matches_arrow_coupled_motion(demo1_window_problem):
+    """coupled_motion adds the (T, lambda) couplings (S = 4 slots)."""
+    import dataclasses
+
+    spec0, data = demo1_window_problem
+    spec = dataclasses.replace(spec0, coupled_motion=True)
+    data = data._replace(obs_vel=jnp.ones_like(data.obs_vel) * 0.05)
+    s_fused = make_obca_solver(spec, IPMOptions(kkt="fused"))
+    s_arrow = make_obca_solver(spec, IPMOptions(kkt="arrow"))
+    rf = jax.jit(s_fused)(data)
+    ra = jax.jit(s_arrow)(data)
+    assert bool(rf.feas) == bool(ra.feas)
+    assert abs(int(rf.iters) - int(ra.iters)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(rf.z["x"]), np.asarray(ra.z["x"]), rtol=1e-6, atol=1e-7)

@@ -41,11 +41,24 @@ def make_obca_solver(spec: OBCASpec, options: IPMOptions = IPMOptions(),
     z_scale["x"] = z_scale["x"] * jnp.asarray([[10.0], [10.0], [3.0]])
     if "T" in z_scale:
         z_scale["T"] = z_scale["T"] * 30.0
+    import numpy as np
+
+    from ..models import obca_struct as _struct
+
+    from jax.flatten_util import ravel_pytree
+
+    lay, prov = _struct.make_provider(
+        spec, np.asarray(ravel_pytree(z_scale)[0]))
+
+    def provider(zv, data, sf, scE, scD, y, w_d):
+        return prov(zv, data, sf, scE, scD, y, w_d)
+
     base = build_solver(
         f_fn, cE_fn, cI_fn, z_example, options, z_scale=z_scale,
         ineq_id=(_obca.ineq_identity_layout(spec), sgn_off_fn, cI_dense_fn),
         arrow=_obca.arrow_layout(spec),
         spine=_obca.hessian_spine_probes(spec),
+        struct=(lay, provider),
     )
 
     def solve(data: OBCAData, z0=None):

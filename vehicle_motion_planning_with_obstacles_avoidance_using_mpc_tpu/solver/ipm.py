@@ -113,14 +113,25 @@ class IPMOptions:
     #   baseline; inertia surrogate is the directional-curvature test.
     # 'chol': Cholesky+Schur demanding W + dI itself SPD — too strong
     #   for OBCA (kept for experiments).
-    # 'arrow' (default when the problem declares its block structure):
-    #   the al_chol augmented-Lagrangian kernel, but factorized by its
-    #   block-arrow structure — batched tiny Cholesky of the per-(k,obs)
-    #   dual blocks, then a dense Schur system over only the trajectory
-    #   variables. Exact same linear system and SPD/NaN rejection
-    #   semantics as 'al_chol' at a small fraction of the flops (the
-    #   dense n^3 Cholesky was ~95% of solve time on TPU).
-    kkt: str = "arrow"
+    # 'arrow' (legacy structured default): the al_chol augmented-
+    #   Lagrangian kernel, but factorized by its block-arrow structure —
+    #   batched tiny Cholesky of the per-(k,obs) dual blocks, then a
+    #   dense Schur system over only the trajectory variables. Exact
+    #   same linear system and SPD/NaN rejection semantics as 'al_chol'
+    #   at a small fraction of the flops (the dense n^3 Cholesky was
+    #   ~95% of solve time on TPU). Jacobians/Hessian still come from
+    #   AD (jacrev + grouped HVP probes) and are materialized dense
+    #   before being gathered into arrow form.
+    # 'fused' (default when the problem declares analytic structure via
+    #   ``struct=``): the same arrow factorization, but every
+    #   gradient/Jacobian/Hessian block is hand-assembled analytically
+    #   in compressed arrow coordinates (models/obca_struct.py) — no AD
+    #   in the iteration at all, no dense (m, n) Jacobian or (n, n)
+    #   Hessian is ever materialized, and the block<->spine coupling is
+    #   kept in its compressed (K, S, bq) form through the
+    #   factorization. This collapsed the measured per-lane-iteration
+    #   HBM footprint ~10x; falls back to 'arrow' when no ``struct``.
+    kkt: str = "fused"
     # Dual regularization of the AL kernel. This is THE robustness-
     # critical knob near degenerate contacts: the kernel's bias against
     # the true (delta_d-regularized) saddle system is removed by the two
@@ -307,7 +318,8 @@ def _spd_inv(A):
 
 def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                  z_example, options: IPMOptions = IPMOptions(),
-                 z_scale=None, ineq_id=None, arrow=None, spine=None):
+                 z_scale=None, ineq_id=None, arrow=None, spine=None,
+                 struct=None):
     """Compile-time construction of a solver for one problem family.
 
     f_fn/cE_fn/cI_fn: (z_pytree, params) -> scalar / (mE,) / (mI,).
@@ -322,6 +334,14 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
     Lagrangian kernel by block elimination: K batched (bq x bq)
     Cholesky factorizations plus one dense Schur Cholesky over the
     spine — instead of one dense n x n factorization.
+
+    ``struct`` optionally supplies ANALYTIC structured derivatives as a
+    ``(StructLayout, provider)`` pair (see models/obca_struct.py):
+    ``provider(zv, params, sf, scE, scD, y, w_dense) -> KKTBundle`` with
+    every gradient/Jacobian/Hessian piece pre-assembled in compressed
+    arrow coordinates. With kkt='fused' the Newton iteration then
+    contains no AD at all. The layout must agree with ``arrow``/
+    ``ineq_id``.
 
     ``ineq_id`` optionally declares the *identity* (bound) inequality rows
     so the Newton system is built with gathers and a diagonal scatter-add
@@ -356,6 +376,9 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
     m_id = id_idx.shape[0]
 
     kkt_mode = opt.kkt
+    if kkt_mode == "fused" and struct is None:
+        kkt_mode = "arrow"  # no analytic structure — AD-arrow fallback
+    fused = kkt_mode == "fused"
     if arrow is not None and np.asarray(arrow).size > 0:
         q_idx_np = np.asarray(arrow, dtype=np.int64)       # (K, bq)
         _pmask = np.ones(n, dtype=bool)
@@ -370,6 +393,23 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
     # needs both the declared arrow layout and the coloring probes
     arrow_structured = (kkt_mode == "arrow" and opt.hessian_coloring
                         and q_idx_np is not None)
+
+    if fused:
+        lay_s, provider = struct
+        assert q_idx_np is not None and np.array_equal(lay_s.q_idx, q_idx_np)
+        assert np.array_equal(lay_s.p_idx, p_idx_np)
+        assert ineq_id is not None, "fused path needs the identity rows"
+        _S = lay_s.S
+        _Kb = lay_s.K
+        _bqs = lay_s.bq
+        _mE_sp = lay_s.mE_sp
+        _mD_sp = lay_s.mD_sp
+        _pq_flat_np = lay_s.pq_pos.reshape(-1)        # (S*K,) spine pos
+        _th_pos_np = lay_s.th_pos
+        _cl_r_np, _cl_c_np = lay_s.clique_rc
+        _id_p_pos_np = lay_s.id_p_pos
+        _q_flat_np = q_idx_np.reshape(-1)
+        _nE_lam = _Kb * (lay_s.bq - 4)                # K*E lam bound rows
 
     # star-coloring probe matrix for the compressed Hessian (see
     # IPMOptions.hessian_coloring): one unit probe per spine variable,
@@ -437,19 +477,48 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
 
             # ---- gradient-based scaling at z0 (Ipopt's scheme). Identity
             # rows keep scale 1 (single entries, all well under g_max).
-            g0 = grad_f(z0, params)
-            JE0 = jac_E(z0, params)
-            JD0 = jac_I_dense(z0, params)
+            if fused:
+                # row-wise max |J| straight from the analytic pieces
+                # (called with unit scales -> natural rows, zv columns)
+                one = jnp.ones((), dtype)
+                b0 = provider(z0, params, one,
+                              jnp.ones((lay_s.mE,), dtype),
+                              jnp.ones((lay_s.mD,), dtype),
+                              jnp.zeros((lay_s.mE,), dtype),
+                              jnp.zeros((lay_s.mD,), dtype))
+                g0 = b0.g
+                rmE_sp = jnp.max(jnp.abs(b0.JE_sp), axis=1)
+                rmE_b = jnp.maximum(jnp.abs(b0.JEb_th),
+                                    jnp.max(jnp.abs(b0.JEb_q), axis=2))
+                rowmax_E = jnp.concatenate([rmE_sp, rmE_b[:, 0],
+                                            rmE_b[:, 1]])
+                rmD_sp = jnp.max(jnp.abs(b0.JD_sp), axis=1)
+                rmD_b = jnp.maximum(
+                    jnp.max(jnp.abs(b0.JDb_p), axis=2),
+                    jnp.max(jnp.abs(b0.JDb_q), axis=2))
+                rowmax_D = jnp.concatenate([rmD_sp, rmD_b[:, 0],
+                                            rmD_b[:, 1]])
+                scE = jnp.minimum(1.0, opt.g_max / jnp.maximum(rowmax_E,
+                                                               1e-12))
+                scD = jnp.minimum(1.0, opt.g_max / jnp.maximum(rowmax_D,
+                                                               1e-12))
+                mE = lay_s.mE
+                cD0 = scD * b0.cD
+            else:
+                g0 = grad_f(z0, params)
+                JE0 = jac_E(z0, params)
+                JD0 = jac_I_dense(z0, params)
+                scE = _row_scales(JE0, opt.g_max)
+                scD = _row_scales(JD0, opt.g_max)
+                mE = JE0.shape[0]
+                cD0 = scD * cI_dense_flat(z0, params)
             sf = jnp.minimum(
                 1.0, opt.g_max / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-12))
-            scE = _row_scales(JE0, opt.g_max)
-            scD = _row_scales(JD0, opt.g_max)
-            mE = JE0.shape[0]
 
             # ---- initialization (ineq duals start at <= 1, Ipopt-style)
             cI0 = jnp.concatenate([
                 sgn_eff * z0[id_idx] + id_off,
-                scD * cI_dense_flat(z0, params),
+                cD0,
             ])
             s0 = jnp.maximum(cI0, opt.s_init)
             mu_b0 = jnp.asarray(opt.mu0, dtype)
@@ -513,6 +582,69 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             # identity rows are linear in z — zero curvature, excluded
             return fs(zv) - y @ cEs(zv) - w_d @ cDs(zv)
 
+        # ---- fused-path helpers: all applications of JE/JI and the
+        # Newton assembly in compressed (spine p, blocks q) coordinates.
+        # p is (np,), q is (K, bq); together they partition flat z.
+        if fused:
+            n_p = p_idx_np.shape[0]
+
+            def _f_flat(p, q):
+                return (jnp.zeros((n,), dtype)
+                        .at[p_idx_np].set(p)
+                        .at[_q_flat_np].set(q.reshape(-1)))
+
+            def _f_jeT(bnd, yv):
+                """JE^T yv -> (p, q)."""
+                yg = jnp.stack([yv[_mE_sp:_mE_sp + _Kb],
+                                yv[_mE_sp + _Kb:]], axis=1)      # (K, 2)
+                p = bnd.JE_sp.T @ yv[:_mE_sp]
+                p = p.at[_th_pos_np].add(jnp.sum(yg * bnd.JEb_th, axis=1))
+                q = jnp.einsum("kr,krb->kb", yg, bnd.JEb_q)
+                return p, q
+
+            def _f_jdT(bnd, wv):
+                """JD^T wv (dense inequality rows only) -> (p, q)."""
+                wg = jnp.stack([wv[_mD_sp:_mD_sp + _Kb],
+                                wv[_mD_sp + _Kb:]], axis=1)      # (K, 2)
+                p = bnd.JD_sp.T @ wv[:_mD_sp]
+                contrib = jnp.einsum("kr,krs->ks", wg, bnd.JDb_p)
+                p = p.at[_pq_flat_np].add(contrib.T.reshape(-1))
+                q = jnp.einsum("kr,krb->kb", wg, bnd.JDb_q)
+                return p, q
+
+            def _f_id_split(sv):
+                """Identity-row vector sgn_eff*v split into block-q adds
+                (lam/mu bound rows reshape straight into (K, bq)) and
+                the spine-row values (scatter at _id_p_pos_np)."""
+                q_add = jnp.concatenate(
+                    [sv[:_nE_lam].reshape(_Kb, _bqs - 4),
+                     sv[_nE_lam:_Kb * _bqs].reshape(_Kb, 4)], axis=1)
+                return q_add, sv[_Kb * _bqs:]
+
+            def _f_jiT(bnd, wv):
+                """JI^T wv (identity + dense rows) -> (p, q)."""
+                p, q = _f_jdT(bnd, wv[m_id:])
+                q_add, p_vals = _f_id_split(sgn_eff * wv[:m_id])
+                return p.at[_id_p_pos_np].add(p_vals), q + q_add
+
+            def _f_ji(bnd, dz):
+                """JI dz -> (mI,) in row order [identity; dense]."""
+                dzp = dz[p_idx_np]
+                dzq = dz[_q_flat_np].reshape(_Kb, _bqs)
+                idr = sgn_eff * dz[id_idx]
+                sp = bnd.JD_sp @ dzp
+                slot = dzp[lay_s.pq_pos]                        # (S, K)
+                blk = (jnp.einsum("krs,sk->kr", bnd.JDb_p, slot)
+                       + jnp.einsum("krb,kb->kr", bnd.JDb_q, dzq))
+                return jnp.concatenate([idr, sp, blk[:, 0], blk[:, 1]])
+
+            def _f_jev(bnd, dp, dq):
+                """JE (dp, dq) -> (mE,)."""
+                sp = bnd.JE_sp @ dp
+                gv = (bnd.JEb_th * dp[_th_pos_np][:, None]
+                      + jnp.einsum("krb,kb->kr", bnd.JEb_q, dq))
+                return jnp.concatenate([sp, gv[:, 0], gv[:, 1]])
+
         if probes_np is None:
             hess_lag = jax.hessian(lag)
         else:
@@ -571,13 +703,20 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             # ---- ONE evaluation set per iterate (grad + Jacobians +
             # constraints); the KKT errors, the watchdog, the barrier
             # update AND the Newton step below all reuse these pieces.
-            g = g_fs(zv)
-            JE = J_Es(zv)
-            JD = J_Ds(zv)
-            cE = cEs(zv)
-            cI = cIs(zv)
-
-            r_d = g - JE.T @ y - jiT_apply(JD, w)
+            if fused:
+                bnd = provider(zv, params, sf, scE, scD, y, w[m_id:])
+                cE = bnd.cE
+                cI = jnp.concatenate([cI_id(zv), bnd.cD])
+                jeTp, jeTq = _f_jeT(bnd, y)
+                jiTp, jiTq = _f_jiT(bnd, w)
+                r_d = bnd.g - _f_flat(jeTp + jiTp, jeTq + jiTq)
+            else:
+                g = g_fs(zv)
+                JE = J_Es(zv)
+                JD = J_Ds(zv)
+                cE = cEs(zv)
+                cI = cIs(zv)
+                r_d = g - JE.T @ y - jiT_apply(JD, w)
             err_0 = kkt_error_from(r_d, cE, cI, s, y, w,
                                    jnp.asarray(0.0, dtype))
             err_mu = kkt_error_from(r_d, cE, cI, s, y, w, st.mu_b)
@@ -642,7 +781,11 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             )
 
             sigma = w / s
-            rhs1 = -r_d - jiT_apply(JD, (w * cI - mu_b) / s)
+            if fused:
+                up, uq = _f_jiT(bnd, (w * cI - mu_b) / s)
+                rhs1 = -r_d - _f_flat(up, uq)
+            else:
+                rhs1 = -r_d - jiT_apply(JD, (w * cI - mu_b) / s)
             rhs2 = -cE
 
             # --- parallel regularization ladder (inertia correction)
@@ -650,7 +793,107 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             ladder = base * (opt.delta_step ** jnp.arange(opt.n_deltas, dtype=dtype))
             dd = jnp.asarray(opt.delta_d_al, dtype)
 
-            if arrow_structured:
+            if fused:
+                # ---- analytic fused Newton step: W and the AL kernel
+                # G = W + delta*I + J^T J/dd assembled straight from the
+                # provider's compressed pieces; the block<->spine
+                # coupling stays (K, S, bq)-compressed end to end.
+                n_p = p_idx_np.shape[0]
+                diag_vals = sgn_eff * sgn_eff * sigma[:m_id]
+                diag_q, diag_p_vals = _f_id_split(diag_vals)
+                diag_p = jnp.zeros((n_p,), dtype).at[_id_p_pos_np].add(
+                    diag_p_vals)
+                sig_sp = sigma[m_id:m_id + _mD_sp]
+                sig_blk = jnp.stack(
+                    [sigma[m_id + _mD_sp:m_id + _mD_sp + _Kb],
+                     sigma[m_id + _mD_sp + _Kb:]], axis=1)      # (K, 2)
+
+                JDs_sp = bnd.JD_sp * sig_sp[:, None]
+                Wpp = (bnd.Hpp + JDs_sp.T @ bnd.JD_sp + jnp.diag(diag_p))
+                cliq = jnp.einsum("kr,krs,krt->kst", sig_blk,
+                                  bnd.JDb_p, bnd.JDb_p)
+                Wpp = Wpp.at[_cl_r_np, _cl_c_np].add(
+                    jnp.transpose(cliq, (1, 2, 0)).reshape(-1))
+                Wpq = bnd.Hpq_c + jnp.einsum("kr,krs,krb->ksb", sig_blk,
+                                             bnd.JDb_p, bnd.JDb_q)
+                eye_b = jnp.eye(_bqs, dtype=dtype)
+                Wqq = (bnd.Hqq
+                       + jnp.einsum("kr,krb,krc->kbc", sig_blk,
+                                    bnd.JDb_q, bnd.JDb_q)
+                       + eye_b[None] * diag_q[:, None, :])
+
+                Gpp0 = Wpp + (bnd.JE_sp.T @ bnd.JE_sp) / dd
+                Gpp0 = Gpp0.at[_th_pos_np, _th_pos_np].add(
+                    jnp.sum(bnd.JEb_th ** 2, axis=1) / dd)
+                Gpq0 = Wpq.at[:, 2, :].add(
+                    jnp.einsum("kr,krb->kb", bnd.JEb_th, bnd.JEb_q) / dd)
+                Gqq0 = Wqq + jnp.einsum("krb,krc->kbc", bnd.JEb_q,
+                                        bnd.JEb_q) / dd
+                eye_p = jnp.eye(n_p, dtype=dtype)
+
+                r1p, r1q = rhs1[p_idx_np], rhs1[q_idx_np]
+                jt2p, jt2q = _f_jeT(bnd, rhs2)
+                jt2p, jt2q = jt2p / dd, jt2q / dd
+
+                def wmv(dp, dq):
+                    slot = dp[lay_s.pq_pos]                     # (S, K)
+                    op = Wpp @ dp
+                    op = op.at[_pq_flat_np].add(
+                        jnp.einsum("ksb,kb->ks", Wpq, dq).T.reshape(-1))
+                    oq = (jnp.einsum("ksb,sk->kb", Wpq, slot)
+                          + jnp.einsum("kbc,kc->kb", Wqq, dq))
+                    return op, oq
+
+                def kkt_solve_fused(delta):
+                    Gqq = Gqq0 + delta * eye_b
+                    Gpp = Gpp0 + delta * eye_p
+                    Qinv = _chol_inv_small(Gqq)                 # (K,bq,bq)
+                    Gqp = jnp.transpose(Gpq0, (0, 2, 1))        # (K,bq,S)
+                    Yq = jnp.einsum("kbc,kcs->kbs", Qinv, Gqp)
+                    SS = jnp.einsum("ksb,kbt->kst", Gpq0, Yq)
+                    S = Gpp.at[_cl_r_np, _cl_c_np].add(
+                        -jnp.transpose(SS, (1, 2, 0)).reshape(-1))
+                    Sinv = _spd_inv(S)
+
+                    def gsolve(bp, bq_):
+                        wq = jnp.einsum("kbc,kc->kb", Qinv, bq_)
+                        rp = bp.at[_pq_flat_np].add(
+                            -jnp.einsum("ksb,kb->ks", Gpq0,
+                                        wq).T.reshape(-1))
+                        dp = Sinv @ rp
+                        dq = wq - jnp.einsum("kbs,sk->kb", Yq,
+                                             dp[lay_s.pq_pos])
+                        return dp, dq
+
+                    def al_solve(bp, bq_, r2, jtp, jtq):
+                        dp, dq = gsolve(bp + jtp, bq_ + jtq)
+                        v = (_f_jev(bnd, dp, dq) - r2) / dd
+                        return dp, dq, v
+
+                    dp, dq, v = al_solve(r1p, r1q, rhs2, jt2p, jt2q)
+                    for _ in range(opt.n_refine):
+                        wp_, wq_ = wmv(dp, dq)
+                        vp, vq = _f_jeT(bnd, v)
+                        res1p = wp_ + delta * dp + vp - r1p
+                        res1q = wq_ + delta * dq + vq - r1q
+                        res2 = (_f_jev(bnd, dp, dq) - opt.delta_d * v
+                                - rhs2)
+                        cp2, cq2 = _f_jeT(bnd, res2)
+                        cp, cq, cv = al_solve(res1p, res1q, res2,
+                                              cp2 / dd, cq2 / dd)
+                        dp, dq, v = dp - cp, dq - cq, v - cv
+                    dz = _f_flat(dp, dq)
+                    sol = jnp.concatenate([dz, v])
+                    wp_, wq_ = wmv(dp, dq)
+                    curv = (dp @ wp_ + jnp.sum(dq * wq_)
+                            + delta * (dp @ dp + jnp.sum(dq * dq)))
+                    good = jnp.all(jnp.isfinite(sol)) & (curv > 0)
+                    return sol, good
+
+                with jax.default_matmul_precision(
+                        opt.kkt_matmul_precision or opt.matmul_precision):
+                    sols, goods = jax.vmap(kkt_solve_fused)(ladder)
+            elif arrow_structured:
                 # ---- fully structured Newton step: H, W and the AL
                 # kernel G = W + delta*I + J^T J/dd are built and
                 # factorized directly in arrow-block form
@@ -790,7 +1033,10 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
 
             dz = sol[:n]
             dy = -sol[n:]
-            ds = ji_apply(JD, dz) + (cI - s)
+            if fused:
+                ds = _f_ji(bnd, dz) + (cI - s)
+            else:
+                ds = ji_apply(JD, dz) + (cI - s)
             dw = -(s * w - mu_b + w * ds) / s
 
             # fraction-to-boundary
