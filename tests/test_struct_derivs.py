@@ -108,6 +108,7 @@ CONFIGS = [
 @pytest.mark.parametrize("variant,coupled,k0", CONFIGS)
 def test_values_and_gradient(variant, coupled, k0):
     lay, spec, bnd, zv, (fs, cEs, cDs), _ = _setup(variant, coupled, k0)
+    np.testing.assert_allclose(float(bnd.f), float(fs(zv)), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(bnd.cE), np.asarray(cEs(zv)),
                                rtol=1e-9, atol=1e-10)
     np.testing.assert_allclose(np.asarray(bnd.cD), np.asarray(cDs(zv)),

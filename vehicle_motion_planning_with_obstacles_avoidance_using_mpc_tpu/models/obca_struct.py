@@ -65,6 +65,7 @@ from .obca import OBCAData, OBCASpec
 class KKTBundle(NamedTuple):
     """All first/second-order pieces at one iterate, scaled, arrow-form."""
 
+    f: jnp.ndarray        # ()   sf * objective value
     g: jnp.ndarray        # (n,)  gradient of sf*f wrt zv
     cE: jnp.ndarray       # (mE,) scaled equality residuals
     cD: jnp.ndarray       # (mD,) scaled dense-inequality residuals
@@ -87,6 +88,8 @@ class StructLayout:
     np_: int
     K: int
     bq: int
+    n_k: int          # horizon steps carrying blocks (K = n_k * nO)
+    nO: int
     S: int            # spine slots coupled to a block: x,y,th[,T]
     mE_sp: int
     mD_sp: int
@@ -156,7 +159,8 @@ def make_layout(spec: OBCASpec) -> StructLayout:
     assert (id_p_pos >= 0).all()
 
     return StructLayout(
-        n=n, np_=np_, K=K, bq=bq, S=S, mE_sp=mE_sp, mD_sp=mD_sp,
+        n=n, np_=np_, K=K, bq=bq, n_k=spec.n_k, nO=nO, S=S,
+        mE_sp=mE_sp, mD_sp=mD_sp,
         mE=mE, mD=mD, pq_pos=pq_pos, th_pos=pq_pos[2],
         clique_rc=clique_rc, p_idx=p_idx, q_idx=q_idx, id_p_pos=id_p_pos,
     )
@@ -379,15 +383,30 @@ def make_provider(spec: OBCASpec, d_scale_flat):
                   + spec.dual_reg * om ** 2)[:, None]
         glam = coef_l * lam
         gmu_g = coef_m * mu
+        cost_acc = 0.5 * jnp.sum(du_c * (R22 @ du_c)) / dt ** 2
         g_parts = []
         if free:
-            cost_acc = 0.5 * jnp.sum(du_c * (R22 @ du_c)) / dt ** 2
             gT = (-2.0 * cost_acc / T
                   + (N + 1) * (data.time_c1 + 2.0 * data.time_c2 * T))
             g_parts.append(gT[None])
         g_parts += [glam.reshape(-1), gmu_g.reshape(-1),
                     gu.reshape(-1), gx.reshape(-1)]
         g_nat = jnp.concatenate(g_parts)
+
+        # ---------- objective value (matches models/obca.py:objective) --
+        dN = x[:, N] - data.xref[:, N]
+        f_nat = (jnp.sum(dx * (data.Q @ dx)) + jnp.sum(u * (data.R1 @ u))
+                 + jnp.sum(du_c * (data.R2 @ du_c)) / dt ** 2
+                 + dN @ data.P @ dN
+                 + 0.5 * _obca._PIN_RHO
+                 * (jnp.sum(((1.0 - lm) * lam) ** 2)
+                    + jnp.sum(((1.0 - om)[:, None] * mu) ** 2))
+                 + 0.5 * spec.dual_reg
+                 * (jnp.sum((lm * lam) ** 2)
+                    + jnp.sum((om[:, None] * mu) ** 2)))
+        if free:
+            f_nat = f_nat + (N + 1) * (data.time_c1 * T
+                                       + data.time_c2 * T ** 2)
 
         # ---------- scaled values ---------------------------------------
         scE_sp = scE[:lay.mE_sp]
@@ -409,28 +428,19 @@ def make_provider(spec: OBCASpec, d_scale_flat):
         wh_dd = scD_blk[:, 1] * w_d[lay.mD_sp + K:]
         y1, y2, y3 = yh_sp[:N], yh_sp[N:2 * N], yh_sp[2 * N:3 * N]
 
-        # ---------- JE_sp (natural entries, scatter-assembled) ----------
-        JE = jnp.zeros((lay.mE_sp, lay.np_), dtype)
+        # ---------- JE_sp: one gather through the static JE_MAP ----------
+        # (value order MUST match the je_entries registration)
         onesN = jnp.ones((N,), dtype)
-        JE = JE.at[r1, X0t[1:]].set(onesN)
-        JE = JE.at[r1, X0t[:N]].set(-onesN)
-        JE = JE.at[r1, X2t[:N]].set(dt * v * sth)
-        JE = JE.at[r1, U0].set(-dt * cth)
-        JE = JE.at[r2, X1t[1:]].set(onesN)
-        JE = JE.at[r2, X1t[:N]].set(-onesN)
-        JE = JE.at[r2, X2t[:N]].set(-dt * v * cth)
-        JE = JE.at[r2, U0].set(-dt * sth)
-        JE = JE.at[r3, X2t[1:]].set(onesN)
-        JE = JE.at[r3, X2t[:N]].set(-onesN)
-        JE = JE.at[r3, U1].set(-dt * onesN)
+        je_vals = [onesN, -onesN, dt * v * sth, -dt * cth,
+                   onesN, -onesN, -dt * v * cth, -dt * sth,
+                   onesN, -onesN, -dt * onesN]
         if free:
-            JE = JE.at[r1, 0].set(-Ts * v * cth)
-            JE = JE.at[r2, 0].set(-Ts * v * sth)
-            JE = JE.at[r3, 0].set(-Ts * w_in)
-        JE = JE.at[init_rows, init_cols].set(jnp.ones(3, dtype))
+            je_vals += [-Ts * v * cth, -Ts * v * sth, -Ts * w_in]
+        je_vals.append(jnp.ones(3, dtype))
         if len(term_rows):
-            JE = JE.at[term_rows, term_cols].set(
-                jnp.ones(len(term_rows), dtype))
+            je_vals.append(jnp.ones(len(term_rows), dtype))
+        vp = jnp.concatenate([jnp.zeros(1, dtype)] + je_vals)
+        JE = vp[JE_MAP]
         JE_sp = scE_sp[:, None] * JE * jnp.asarray(ds_p, dtype)[None, :]
 
         # ---------- stationarity block Jacobian -------------------------
@@ -445,23 +455,19 @@ def make_provider(spec: OBCASpec, d_scale_flat):
         JEb_th = scE_g * jth * ds_slots[2]
         JEb_q = scE_g[..., None] * jnp.concatenate([jlam, jmu], axis=2)
 
-        # ---------- JD_sp (accel + terminal rows) -----------------------
-        JD = jnp.zeros((lay.mD_sp, lay.np_), dtype)
+        # ---------- JD_sp: one gather through the static JD_MAP ----------
         # row family hi: a_max*dt - du_i  (du_i_t = u_{t-1} - u_t)
         #   => d/du_t = +1, d/du_{t-1} = -1
-        for fam, (usl, lim) in enumerate(
-                [(U0, data.a_max), (U1, data.alpha_max)]):
-            hi, lo = aR[2 * fam], aR[2 * fam + 1]
-            JD = JD.at[hi, usl].set(onesN)
-            JD = JD.at[hi[1:], usl[:-1]].set(-onesN[1:])
-            JD = JD.at[lo, usl].set(-onesN)
-            JD = JD.at[lo[1:], usl[:-1]].set(onesN[1:])
+        jd_vals = []
+        for lim in (data.a_max, data.alpha_max):
+            jd_vals += [onesN, -onesN[1:], -onesN, onesN[1:]]
             if free:
-                JD = JD.at[hi, 0].set(lim * Ts * onesN)
-                JD = JD.at[lo, 0].set(lim * Ts * onesN)
+                tcol = lim * Ts * onesN
+                jd_vals += [tcol, tcol]
         if len(dterm_rows):
-            JD = JD.at[dterm_rows, dterm_cols].set(
-                jnp.asarray(dterm_sgn, dtype))
+            jd_vals.append(jnp.asarray(dterm_sgn, dtype))
+        vpD = jnp.concatenate([jnp.zeros(1, dtype)] + jd_vals)
+        JD = vpD[JD_MAP]
         JD_sp = scD_sp[:, None] * JD * jnp.asarray(ds_p, dtype)[None, :]
 
         # ---------- norm/dist block Jacobians ---------------------------
@@ -490,60 +496,68 @@ def make_provider(spec: OBCASpec, d_scale_flat):
                  * jnp.asarray(ds_slots, dtype)[None, None, :])
         JDb_q = scD_blk[..., None] * JDb_q_nat
 
-        # ---------- Lagrangian Hessian ----------------------------------
-        # spine block: objective + dyn-row second derivatives + the
-        # (th_k, th_k) contributions of the stationarity/dist rows
-        Hpp = jnp.zeros((lay.np_, lay.np_), dtype)
-        # x/x: Q2 per t<N, P2 at N  (3x3 cliques on the x slots)
-        xi = np.stack([X0t, X1t, X2t])                        # (3, N+1)
-        rows3 = np.repeat(xi, 3, axis=0)                      # (9, N+1)
-        cols3 = np.tile(xi, (3, 1))
-        Qv = sf * jnp.concatenate(
-            [jnp.broadcast_to(Q2.reshape(9, 1), (9, N)),
-             P2.reshape(9, 1)], axis=1)
-        Hpp = Hpp.at[rows3.reshape(-1), cols3.reshape(-1)].add(Qv.reshape(-1))
-        # u/u: R12 + acc band
-        ui = np.stack([U0, U1])                               # (2, N)
-        rows2 = np.repeat(ui, 2, axis=0)
-        cols2 = np.tile(ui, (2, 1))
-        cnt = jnp.concatenate([2.0 * onesN[:-1], onesN[:1]])  # 2,2,..,1
-        Uv = sf * (jnp.broadcast_to(R12.reshape(4, 1), (4, N))
-                   + R22.reshape(4, 1) * cnt[None] / dt ** 2)
-        Hpp = Hpp.at[rows2.reshape(-1), cols2.reshape(-1)].add(Uv.reshape(-1))
-        if N > 1:
-            rowsb = np.repeat(ui[:, :-1], 2, axis=0)
-            colsb = np.tile(ui[:, 1:], (2, 1))
-            Bv = sf * jnp.broadcast_to(-R22.reshape(4, 1) / dt ** 2,
-                                       (4, N - 1))
-            Hpp = Hpp.at[rowsb.reshape(-1), colsb.reshape(-1)].add(
-                Bv.reshape(-1))
-            Hpp = Hpp.at[colsb.reshape(-1), rowsb.reshape(-1)].add(
-                Bv.reshape(-1))
+        # ---------- Lagrangian Hessian (spine block) --------------------
+        # Scatter-free: the spine Hessian decomposes into the x-block
+        # (same-step 3x3 cliques = diag-embedded Q2/P2 + the theta/theta
+        # curvature), the u-block (R12 diag + R22 tridiagonal band), the
+        # (theta_t, v_t) rectangle, and the dense T row/column — each
+        # built as a small dense tensor by broadcasting against constant
+        # eye/band masks and joined with jnp.block.
         # dyn-row curvature: -(y1 ddr1 + y2 ddr2 + y3 ddr3)
-        h_thth = -(y1 * dt * v * cth + y2 * dt * v * sth)
-        h_thv = -(y1 * dt * sth - y2 * dt * cth)
-        Hpp = Hpp.at[X2t[:N], X2t[:N]].add(h_thth)
-        Hpp = Hpp.at[X2t[:N], U0].add(h_thv)
-        Hpp = Hpp.at[U0, X2t[:N]].add(h_thv)
+        h_thth = -(y1 * dt * v * cth + y2 * dt * v * sth)     # (N,)
+        h_thv = -(y1 * dt * sth - y2 * dt * cth)              # (N,)
+        # block rows' (th_k, th_k): stationarity + dist, summed over the
+        # obstacles at each step (K = n_k * nO, block-major)
+        hb_thth = -(yh_g[:, 0] * m * (-ck * q1[:, 0] - sk * q1[:, 1])
+                    + yh_g[:, 1] * m * (sk * q1[:, 0] - ck * q1[:, 1])
+                    + wh_dd * m * off * (-ck * q1[:, 0] - sk * q1[:, 1]))
+        thth_all = (jnp.concatenate([h_thth, jnp.zeros(1, dtype)])
+                    + jnp.concatenate([jnp.zeros(kl, dtype),
+                                       hb_thth.reshape(-1, nO).sum(1)]))
+
+        eyeN1 = jnp.asarray(eyeN1_np, dtype)
+        Qcols = sf * jnp.concatenate(
+            [jnp.broadcast_to(Q2[:, :, None], (3, 3, N)), P2[:, :, None]],
+            axis=2)                                           # (3,3,N+1)
+        Hxx4 = (Qcols.transpose(0, 2, 1)[:, :, :, None]
+                * eyeN1[None, :, None, :])                    # (3,N+1,3,N+1)
+        Hxx4 = Hxx4.at[2, :, 2, :].add(eyeN1 * thth_all[:, None])
+        Hxx = Hxx4.reshape(3 * (N + 1), 3 * (N + 1))
+
+        cnt = jnp.concatenate([2.0 * onesN[:-1], onesN[:1]])  # 2,2,..,1
+        diagv = sf * (R12[:, :, None]
+                      + R22[:, :, None] * cnt[None, None] / dt ** 2)
+        bandv = sf * (-R22 / dt ** 2)
+        Huu4 = (diagv.transpose(0, 2, 1)[:, :, :, None]
+                * jnp.asarray(eyeN_np, dtype)[None, :, None, :]
+                + bandv[:, None, :, None]
+                * jnp.asarray(bandN_np, dtype)[None, :, None, :])
+        Huu = Huu4.reshape(2 * N, 2 * N)
+
+        # (v_t, theta_t) rectangle: u rows, x columns
+        Mvth = jnp.asarray(rectN_np.T, dtype) * h_thv[:, None]   # (N, N+1)
+        zN1 = jnp.zeros((N, N + 1), dtype)
+        Hux = jnp.concatenate([
+            jnp.concatenate([zN1, zN1, Mvth], axis=1),
+            jnp.zeros((N, 3 * (N + 1)), dtype)], axis=0)      # (2N, 3(N+1))
+
         if free:
             h_thT = -(y1 * Ts * v * sth - y2 * Ts * v * cth)
             h_vT = -(-y1 * Ts * cth - y2 * Ts * sth)
             h_wT = y3 * Ts
             g_accT = -2.0 * g_acc / T                         # (2, N)
-            Hpp = Hpp.at[X2t[:N], 0].add(h_thT)
-            Hpp = Hpp.at[0, X2t[:N]].add(h_thT)
-            Hpp = Hpp.at[U0, 0].add(sf * g_accT[0] + h_vT)
-            Hpp = Hpp.at[0, U0].add(sf * g_accT[0] + h_vT)
-            Hpp = Hpp.at[U1, 0].add(sf * g_accT[1] + h_wT)
-            Hpp = Hpp.at[0, U1].add(sf * g_accT[1] + h_wT)
-            hTT = sf * (6.0 * cost_acc / T ** 2
-                        + 2.0 * data.time_c2 * (N + 1))
-            Hpp = Hpp.at[0, 0].add(hTT)
-        # block rows' (th_k, th_k): stationarity + dist
-        hb_thth = -(yh_g[:, 0] * m * (-ck * q1[:, 0] - sk * q1[:, 1])
-                    + yh_g[:, 1] * m * (sk * q1[:, 0] - ck * q1[:, 1])
-                    + wh_dd * m * off * (-ck * q1[:, 0] - sk * q1[:, 1]))
-        Hpp = Hpp.at[lay.th_pos, lay.th_pos].add(hb_thth)
+            HTu = jnp.concatenate([sf * g_accT[0] + h_vT,
+                                   sf * g_accT[1] + h_wT])[None, :]
+            HTx = jnp.concatenate(
+                [jnp.zeros(2 * (N + 1), dtype), h_thT,
+                 jnp.zeros(1, dtype)])[None, :]
+            HTT = (sf * (6.0 * cost_acc / T ** 2
+                         + 2.0 * data.time_c2 * (N + 1)))[None, None]
+            Hpp = jnp.block([[HTT, HTu, HTx],
+                             [HTu.T, Huu, Hux],
+                             [HTx.T, Hux.T, Hxx]])
+        else:
+            Hpp = jnp.block([[Huu, Hux], [Hux.T, Hxx]])
         Hpp = Hpp * jnp.asarray(ds_pp, dtype)
 
         # coupling Hpq_c (K, S, bq): rows x, y, th[, T]; lam columns only
@@ -576,7 +590,7 @@ def make_provider(spec: OBCASpec, d_scale_flat):
         Hqq = Hqq.at[:, :E, :E].set(H_ll)
         Hqq = Hqq.at[:, E:, E:].set(H_mm)
 
-        return KKTBundle(g=g_s, cE=cE_s, cD=cD_s, JE_sp=JE_sp,
+        return KKTBundle(f=sf * f_nat, g=g_s, cE=cE_s, cD=cD_s, JE_sp=JE_sp,
                          JEb_th=JEb_th, JEb_q=JEb_q, JD_sp=JD_sp,
                          JDb_p=JDb_p, JDb_q=JDb_q, Hpp=Hpp, Hpq_c=Hpq_c,
                          Hqq=Hqq)

@@ -402,14 +402,33 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
         _S = lay_s.S
         _Kb = lay_s.K
         _bqs = lay_s.bq
+        _nk = lay_s.n_k
+        _nO = lay_s.nO
         _mE_sp = lay_s.mE_sp
         _mD_sp = lay_s.mD_sp
-        _pq_flat_np = lay_s.pq_pos.reshape(-1)        # (S*K,) spine pos
-        _th_pos_np = lay_s.th_pos
-        _cl_r_np, _cl_c_np = lay_s.clique_rc
-        _id_p_pos_np = lay_s.id_p_pos
-        _q_flat_np = q_idx_np.reshape(-1)
         _nE_lam = _Kb * (lay_s.bq - 4)                # K*E lam bound rows
+        _np_s = lay_s.np_
+        # TPU scatters serialize per index row, so the fused path avoids
+        # them entirely:
+        #  * flat-z assembly from (p, q) is an inverse-permutation GATHER,
+        #  * every block->spine accumulation first reduces over the nO
+        #    obstacles sharing a horizon step, then lands through a tiny
+        #    constant one-hot matrix (a dot — MXU work, one HLO op),
+        #  * every spine->block broadcast is the transpose dot + reshape.
+        _q_flat_np = q_idx_np.reshape(-1)
+        _perm = np.concatenate([p_idx_np, _q_flat_np])
+        _inv_perm_np = np.empty(n, np.int64)
+        _inv_perm_np[_perm] = np.arange(n)
+        # E_slot: (np, S*n_k) one-hot of each (slot, step) spine position
+        _E_slot_np = np.zeros((_np_s, _S * _nk))
+        for s_ in range(_S):
+            for k_ in range(_nk):
+                _E_slot_np[lay_s.pq_pos[s_, k_ * _nO], s_ * _nk + k_] = 1.0
+        _E_th_np = _E_slot_np[:, 2 * _nk:3 * _nk]     # theta columns
+        # E_id: (np, n_box) one-hot of the x/u/T bound-row positions
+        _id_p_pos_np = lay_s.id_p_pos
+        _E_id_np = np.zeros((_np_s, _id_p_pos_np.shape[0]))
+        _E_id_np[_id_p_pos_np, np.arange(_id_p_pos_np.shape[0])] = 1.0
 
     # star-coloring probe matrix for the compressed Hessian (see
     # IPMOptions.hessian_coloring): one unit probe per spine variable,
@@ -587,18 +606,34 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
         # p is (np,), q is (K, bq); together they partition flat z.
         if fused:
             n_p = p_idx_np.shape[0]
+            E_slot = jnp.asarray(_E_slot_np, dtype)      # (np, S*n_k)
+            E_th = jnp.asarray(_E_th_np, dtype)          # (np, n_k)
+            E_id = jnp.asarray(_E_id_np, dtype)          # (np, n_box)
+            eye_nk = jnp.asarray(np.eye(_nk), dtype)
+
+            def _red(vK):
+                """(K, ...) block-major -> (n_k, ...) summed over the nO
+                obstacles of each step."""
+                return vK.reshape((_nk, _nO) + vK.shape[1:]).sum(1)
+
+            def _bcast(vk):
+                """(S, n_k) per-step spine values -> (S, K) per-block."""
+                return jnp.broadcast_to(
+                    vk[:, :, None], (_S, _nk, _nO)).reshape(_S, _Kb)
+
+            def _slots_of(dp):
+                """(S, K) spine slot values of each block, via E_slot."""
+                return _bcast((E_slot.T @ dp).reshape(_S, _nk))
 
             def _f_flat(p, q):
-                return (jnp.zeros((n,), dtype)
-                        .at[p_idx_np].set(p)
-                        .at[_q_flat_np].set(q.reshape(-1)))
+                return jnp.concatenate([p, q.reshape(-1)])[_inv_perm_np]
 
             def _f_jeT(bnd, yv):
                 """JE^T yv -> (p, q)."""
                 yg = jnp.stack([yv[_mE_sp:_mE_sp + _Kb],
                                 yv[_mE_sp + _Kb:]], axis=1)      # (K, 2)
-                p = bnd.JE_sp.T @ yv[:_mE_sp]
-                p = p.at[_th_pos_np].add(jnp.sum(yg * bnd.JEb_th, axis=1))
+                p = (bnd.JE_sp.T @ yv[:_mE_sp]
+                     + E_th @ _red(jnp.sum(yg * bnd.JEb_th, axis=1)))
                 q = jnp.einsum("kr,krb->kb", yg, bnd.JEb_q)
                 return p, q
 
@@ -606,16 +641,16 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 """JD^T wv (dense inequality rows only) -> (p, q)."""
                 wg = jnp.stack([wv[_mD_sp:_mD_sp + _Kb],
                                 wv[_mD_sp + _Kb:]], axis=1)      # (K, 2)
-                p = bnd.JD_sp.T @ wv[:_mD_sp]
-                contrib = jnp.einsum("kr,krs->ks", wg, bnd.JDb_p)
-                p = p.at[_pq_flat_np].add(contrib.T.reshape(-1))
+                contrib = _red(jnp.einsum("kr,krs->ks", wg, bnd.JDb_p))
+                p = (bnd.JD_sp.T @ wv[:_mD_sp]
+                     + E_slot @ contrib.T.reshape(-1))
                 q = jnp.einsum("kr,krb->kb", wg, bnd.JDb_q)
                 return p, q
 
             def _f_id_split(sv):
                 """Identity-row vector sgn_eff*v split into block-q adds
                 (lam/mu bound rows reshape straight into (K, bq)) and
-                the spine-row values (scatter at _id_p_pos_np)."""
+                the spine-row values (land through E_id)."""
                 q_add = jnp.concatenate(
                     [sv[:_nE_lam].reshape(_Kb, _bqs - 4),
                      sv[_nE_lam:_Kb * _bqs].reshape(_Kb, 4)], axis=1)
@@ -625,7 +660,16 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 """JI^T wv (identity + dense rows) -> (p, q)."""
                 p, q = _f_jdT(bnd, wv[m_id:])
                 q_add, p_vals = _f_id_split(sgn_eff * wv[:m_id])
-                return p.at[_id_p_pos_np].add(p_vals), q + q_add
+                return p + E_id @ p_vals, q + q_add
+
+            def _f_clique(cliq):
+                """(K, S, S) per-block spine cliques -> dense (np, np)
+                via reduce-over-obstacles + diag-embed + two tiny dots."""
+                red = _red(cliq)                               # (n_k,S,S)
+                C = (red.transpose(1, 0, 2)[:, :, :, None]
+                     * eye_nk[None, :, None, :])               # (S,nk,S,nk)
+                C = C.reshape(_S * _nk, _S * _nk)
+                return E_slot @ C @ E_slot.T
 
             def _f_ji(bnd, dz):
                 """JI dz -> (mI,) in row order [identity; dense]."""
@@ -633,7 +677,7 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 dzq = dz[_q_flat_np].reshape(_Kb, _bqs)
                 idr = sgn_eff * dz[id_idx]
                 sp = bnd.JD_sp @ dzp
-                slot = dzp[lay_s.pq_pos]                        # (S, K)
+                slot = _slots_of(dzp)                          # (S, K)
                 blk = (jnp.einsum("krs,sk->kr", bnd.JDb_p, slot)
                        + jnp.einsum("krb,kb->kr", bnd.JDb_q, dzq))
                 return jnp.concatenate([idr, sp, blk[:, 0], blk[:, 1]])
@@ -641,7 +685,9 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             def _f_jev(bnd, dp, dq):
                 """JE (dp, dq) -> (mE,)."""
                 sp = bnd.JE_sp @ dp
-                gv = (bnd.JEb_th * dp[_th_pos_np][:, None]
+                thK = jnp.broadcast_to(
+                    (E_th.T @ dp)[:, None], (_nk, _nO)).reshape(_Kb)
+                gv = (bnd.JEb_th * thK[:, None]
                       + jnp.einsum("krb,kb->kr", bnd.JEb_q, dq))
                 return jnp.concatenate([sp, gv[:, 0], gv[:, 1]])
 
@@ -797,23 +843,23 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 # ---- analytic fused Newton step: W and the AL kernel
                 # G = W + delta*I + J^T J/dd assembled straight from the
                 # provider's compressed pieces; the block<->spine
-                # coupling stays (K, S, bq)-compressed end to end.
+                # coupling stays (K, S, bq)-compressed end to end, and
+                # every accumulation lands through the constant one-hot
+                # dots (no scatters — see the _E_* statics).
                 n_p = p_idx_np.shape[0]
                 diag_vals = sgn_eff * sgn_eff * sigma[:m_id]
                 diag_q, diag_p_vals = _f_id_split(diag_vals)
-                diag_p = jnp.zeros((n_p,), dtype).at[_id_p_pos_np].add(
-                    diag_p_vals)
+                diag_p = E_id @ diag_p_vals
                 sig_sp = sigma[m_id:m_id + _mD_sp]
                 sig_blk = jnp.stack(
                     [sigma[m_id + _mD_sp:m_id + _mD_sp + _Kb],
                      sigma[m_id + _mD_sp + _Kb:]], axis=1)      # (K, 2)
 
                 JDs_sp = bnd.JD_sp * sig_sp[:, None]
-                Wpp = (bnd.Hpp + JDs_sp.T @ bnd.JD_sp + jnp.diag(diag_p))
                 cliq = jnp.einsum("kr,krs,krt->kst", sig_blk,
                                   bnd.JDb_p, bnd.JDb_p)
-                Wpp = Wpp.at[_cl_r_np, _cl_c_np].add(
-                    jnp.transpose(cliq, (1, 2, 0)).reshape(-1))
+                Wpp = (bnd.Hpp + JDs_sp.T @ bnd.JD_sp + jnp.diag(diag_p)
+                       + _f_clique(cliq))
                 Wpq = bnd.Hpq_c + jnp.einsum("kr,krs,krb->ksb", sig_blk,
                                              bnd.JDb_p, bnd.JDb_q)
                 eye_b = jnp.eye(_bqs, dtype=dtype)
@@ -822,9 +868,9 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                                     bnd.JDb_q, bnd.JDb_q)
                        + eye_b[None] * diag_q[:, None, :])
 
-                Gpp0 = Wpp + (bnd.JE_sp.T @ bnd.JE_sp) / dd
-                Gpp0 = Gpp0.at[_th_pos_np, _th_pos_np].add(
-                    jnp.sum(bnd.JEb_th ** 2, axis=1) / dd)
+                th2 = _red(jnp.sum(bnd.JEb_th ** 2, axis=1)) / dd
+                Gpp0 = (Wpp + (bnd.JE_sp.T @ bnd.JE_sp) / dd
+                        + (E_th * th2[None, :]) @ E_th.T)
                 Gpq0 = Wpq.at[:, 2, :].add(
                     jnp.einsum("kr,krb->kb", bnd.JEb_th, bnd.JEb_q) / dd)
                 Gqq0 = Wqq + jnp.einsum("krb,krc->kbc", bnd.JEb_q,
@@ -836,10 +882,9 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 jt2p, jt2q = jt2p / dd, jt2q / dd
 
                 def wmv(dp, dq):
-                    slot = dp[lay_s.pq_pos]                     # (S, K)
-                    op = Wpp @ dp
-                    op = op.at[_pq_flat_np].add(
-                        jnp.einsum("ksb,kb->ks", Wpq, dq).T.reshape(-1))
+                    slot = _slots_of(dp)                        # (S, K)
+                    op = (Wpp @ dp + E_slot @ _red(
+                        jnp.einsum("ksb,kb->ks", Wpq, dq)).T.reshape(-1))
                     oq = (jnp.einsum("ksb,sk->kb", Wpq, slot)
                           + jnp.einsum("kbc,kc->kb", Wqq, dq))
                     return op, oq
@@ -851,18 +896,17 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                     Gqp = jnp.transpose(Gpq0, (0, 2, 1))        # (K,bq,S)
                     Yq = jnp.einsum("kbc,kcs->kbs", Qinv, Gqp)
                     SS = jnp.einsum("ksb,kbt->kst", Gpq0, Yq)
-                    S = Gpp.at[_cl_r_np, _cl_c_np].add(
-                        -jnp.transpose(SS, (1, 2, 0)).reshape(-1))
+                    S = Gpp - _f_clique(SS)
                     Sinv = _spd_inv(S)
 
                     def gsolve(bp, bq_):
                         wq = jnp.einsum("kbc,kc->kb", Qinv, bq_)
-                        rp = bp.at[_pq_flat_np].add(
-                            -jnp.einsum("ksb,kb->ks", Gpq0,
-                                        wq).T.reshape(-1))
+                        rp = bp - E_slot @ _red(
+                            jnp.einsum("ksb,kb->ks", Gpq0,
+                                       wq)).T.reshape(-1)
                         dp = Sinv @ rp
                         dq = wq - jnp.einsum("kbs,sk->kb", Yq,
-                                             dp[lay_s.pq_pos])
+                                             _slots_of(dp))
                         return dp, dq
 
                     def al_solve(bp, bq_, r2, jtp, jtq):
@@ -1047,8 +1091,13 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
             a_w = jnp.minimum(a_w, 1.0)
 
             # vectorized filter-style backtracking
-            phi0 = barrier_obj(zv, s, mu_b)
-            th0 = theta(zv, s)
+            if fused:
+                # cE/cI for this iterate are already in hand
+                phi0 = bnd.f - mu_b * jnp.sum(jnp.log(s))
+                th0 = jnp.sum(jnp.abs(cE)) + jnp.sum(jnp.abs(cI - s))
+            else:
+                phi0 = barrier_obj(zv, s, mu_b)
+                th0 = theta(zv, s)
             g_th = 1e-5
             alphas = a_s * (0.5 ** jnp.arange(opt.n_backtracks, dtype=dtype))
 
