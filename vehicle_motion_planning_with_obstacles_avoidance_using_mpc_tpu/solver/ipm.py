@@ -301,14 +301,44 @@ def _chol_inv_small(A):
 _UNROLL_LIMIT = 16
 
 
+_BLOCK_INV_LIMIT = 160
+
+
 def _spd_inv(A):
-    """Inverse of batched SPD blocks: unrolled for tiny blocks (the
-    (K, 8, 8) dual blocks), blocked XLA Cholesky + triangular inverse for
-    the spine Schur complement. Non-SPD inputs yield NaN either way —
-    the ladder-rejection signal."""
+    """Inverse of batched SPD blocks. Three regimes:
+
+      m <= _UNROLL_LIMIT: fully unrolled Cholesky (the (K, 8, 8) dual
+        blocks) — fused vector ops, no custom-calls.
+      m <= _BLOCK_INV_LIMIT: recursive 2x2-block Schur inversion,
+          A^-1 = [[I11 + W Qi W^T, -W Qi], [-Qi W^T, Qi]],
+          W = I11 A12,  Q = A22 - A21 I11 A12,
+        recursing on A11 and Q. All leaves are unrolled Cholesky
+        inversions and all glue is MXU matmuls. This exists because
+        XLA:TPU's batched cholesky/triangular_solve custom-calls run a
+        serial per-column loop: 13.5 ms for (1024, 34, 34) f32 — ~4
+        GFLOP/s (scripts/exp_r5_micro.py) — where this path is pure
+        batched matmul work. SPD(A) <=> SPD(A11) and SPD(Schur), so
+        NaN-on-non-SPD ladder-rejection semantics are exactly
+        preserved.
+      else: blocked XLA Cholesky + triangular inverse (large spines).
+    """
     m = A.shape[-1]
     if m <= _UNROLL_LIMIT:
         return _chol_inv_small(A)
+    if m <= _BLOCK_INV_LIMIT:
+        h = (m + 1) // 2
+        A11 = A[..., :h, :h]
+        A12 = A[..., :h, h:]
+        A22 = A[..., h:, h:]
+        I11 = _spd_inv(A11)
+        W = I11 @ A12
+        Q = A22 - jnp.einsum("...ki,...kj->...ij", A12, W)
+        Qi = _spd_inv(Q)
+        B12 = -W @ Qi
+        B11 = I11 - jnp.einsum("...ik,...jk->...ij", B12, W)
+        top = jnp.concatenate([B11, B12], axis=-1)
+        bot = jnp.concatenate([jnp.swapaxes(B12, -1, -2), Qi], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
     L = jnp.linalg.cholesky(A)
     eye = jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), A.shape)
     Linv = jax.lax.linalg.triangular_solve(
@@ -936,7 +966,17 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
 
                 with jax.default_matmul_precision(
                         opt.kkt_matmul_precision or opt.matmul_precision):
-                    sols, goods = jax.vmap(kkt_solve_fused)(ladder)
+                    # rungs as an unrolled python loop, NOT vmap: a
+                    # small non-leading rung axis makes the batched
+                    # Cholesky/triangular kernels ~2.5x slower instead
+                    # of 2x (measured scripts/exp_r5_micro.py: spd_inv
+                    # (B,2,34,34) 34 ms vs (2B,34,34) 21 ms, and even a
+                    # dummy (B,1,...) axis costs ~35%); unrolling keeps
+                    # every tensor in its natural per-lane layout.
+                    rung = [kkt_solve_fused(ladder[j])
+                            for j in range(opt.n_deltas)]
+                    sols = jnp.stack([r[0] for r in rung])
+                    goods = jnp.stack([r[1] for r in rung])
             elif arrow_structured:
                 # ---- fully structured Newton step: H, W and the AL
                 # kernel G = W + delta*I + J^T J/dd are built and
