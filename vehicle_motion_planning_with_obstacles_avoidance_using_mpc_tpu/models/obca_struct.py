@@ -519,9 +519,11 @@ def make_provider(spec: OBCASpec, d_scale_flat):
         Qcols = sf * jnp.concatenate(
             [jnp.broadcast_to(Q2[:, :, None], (3, 3, N)), P2[:, :, None]],
             axis=2)                                           # (3,3,N+1)
+        e3 = jnp.asarray([0.0, 0.0, 1.0], dtype)
         Hxx4 = (Qcols.transpose(0, 2, 1)[:, :, :, None]
-                * eyeN1[None, :, None, :])                    # (3,N+1,3,N+1)
-        Hxx4 = Hxx4.at[2, :, 2, :].add(eyeN1 * thth_all[:, None])
+                * eyeN1[None, :, None, :]                     # (3,N+1,3,N+1)
+                + (e3[:, None, None, None] * e3[None, None, :, None])
+                * (eyeN1 * thth_all[:, None])[None, :, None, :])
         Hxx = Hxx4.reshape(3 * (N + 1), 3 * (N + 1))
 
         cnt = jnp.concatenate([2.0 * onesN[:-1], onesN[:1]])  # 2,2,..,1
@@ -579,16 +581,23 @@ def make_provider(spec: OBCASpec, d_scale_flat):
             [Hpq_lam, jnp.zeros((K, S, 4), dtype)], axis=2)
         Hpq_c = Hpq_c * jnp.asarray(ds_slots, dtype)[None, :, None]
 
-        # block diagonal Hqq: norm-row curvature + pin/prox diagonals
+        # block diagonal Hqq: norm-row curvature + pin/prox diagonals.
+        # Assembled with concatenates, NOT .at[] updates: an offset
+        # .at[:, E:, E:].set on a (B, K, 8, 8) operand lowers to a
+        # tile-misaligned dynamic-update-slice that cost 47% of the
+        # whole Newton iteration on TPU (6 ms/trip at B=256, measured
+        # with jax.profiler — the (4, 4) start is not (8, 128)-tile
+        # aligned so the update runs a scalar path).
         AAT = jnp.einsum("ked,kfd->kef", A, A)
         eyeE = jnp.eye(E, dtype=dtype)
         H_ll = (2.0 * wh_n[:, None, None] * m[:, None, None] * AAT
                 + eyeE[None] * (sf * coef_l)[:, None, :])
         H_mm = (jnp.eye(4, dtype=dtype)[None]
                 * (sf * coef_m[:, 0])[:, None, None])
-        Hqq = jnp.zeros((K, bq, bq), dtype)
-        Hqq = Hqq.at[:, :E, :E].set(H_ll)
-        Hqq = Hqq.at[:, E:, E:].set(H_mm)
+        Hqq = jnp.concatenate([
+            jnp.concatenate([H_ll, jnp.zeros((K, E, 4), dtype)], axis=2),
+            jnp.concatenate([jnp.zeros((K, 4, E), dtype), H_mm], axis=2),
+        ], axis=1)
 
         return KKTBundle(f=sf * f_nat, g=g_s, cE=cE_s, cD=cD_s, JE_sp=JE_sp,
                          JEb_th=JEb_th, JEb_q=JEb_q, JD_sp=JD_sp,

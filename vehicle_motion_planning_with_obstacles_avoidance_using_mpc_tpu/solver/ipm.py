@@ -260,36 +260,46 @@ def _row_scales(J, g_max):
 
 def _chol_inv_small(A):
     """Inverse of batched small SPD blocks (..., m, m) via an UNROLLED
-    Cholesky + forward substitution.
+    Cholesky + forward substitution, computed in BATCH-MINOR layout.
 
     XLA's batched ``jnp.linalg.cholesky``/``cho_solve`` lower to a
     loop-per-column LAPACK-style path that is pathological for tiny
-    matrices on TPU: the (K=60, 8, 8) block factorization measured
-    13.7 ms of the 22 ms IPM iteration at batch 256 (scripts/
-    profile_arrow.py). Unrolling the m = E+4 (= 8) steps turns it into
-    ~m^2 fused vector ops over the batch. A non-SPD block produces
-    sqrt(negative) = NaN which propagates through the inverse — exactly
-    the failure signal ``jnp.linalg.cholesky`` gives the inertia ladder.
+    matrices on TPU (13.7 ms of a 22 ms IPM iteration at batch 256).
+    Unrolling the m = E+4 (= 8) steps turns it into ~m^2 fused vector
+    ops — but with the default (..., m, m) layout each of those ops is
+    an f32[B, K, 8, 1] column: the tiny matrix dim lands in the TPU's
+    tiled (8, 128) minor position and wastes ~128x of the vector lanes
+    (measured with jax.profiler: the three largest ops of the whole
+    Newton iteration were these columns, ~45 ms per 30 trips). So the
+    kernel transposes once to (m, m, batch), runs every unrolled op on
+    (m, batch) slices — batch-minor, fully lane-aligned — and
+    transposes back. A non-SPD block produces sqrt(negative) = NaN
+    which propagates through the inverse — exactly the failure signal
+    ``jnp.linalg.cholesky`` gives the inertia ladder.
     """
     m = A.shape[-1]
-    idx = jnp.arange(m)
-    cols = []
+    lead = A.shape[:-2]
+    X = jnp.moveaxis(A.reshape((-1,) + A.shape[-2:]), 0, -1)  # (m, m, Bf)
+    cols = []                      # cols[j] = L[:, j] as (m, Bf)
     for j in range(m):
-        v = A[..., :, j]
+        v = X[:, j]
         for k in range(j):
-            v = v - cols[k] * cols[k][..., j : j + 1]
-        d = jnp.sqrt(v[..., j : j + 1])
-        cols.append(jnp.where(idx >= j, v / d, 0.0))
-    L = jnp.stack(cols, axis=-1)
-    # rows of L^{-1} by forward substitution
+            v = v - cols[k] * cols[k][j:j + 1]
+        d = jnp.sqrt(v[j:j + 1])
+        scaled = v / d
+        mask = (jnp.arange(m) >= j)[:, None]
+        cols.append(jnp.where(mask, scaled, jnp.zeros_like(scaled)))
+    # rows of L^{-1} by forward substitution, rows[i] = (m, Bf)
     rows = []
     for i in range(m):
-        acc = jnp.where(idx == i, jnp.ones_like(A[..., i, :]), 0.0)
+        acc = jnp.where((jnp.arange(m) == i)[:, None],
+                        jnp.ones_like(X[0]), jnp.zeros_like(X[0]))
         for k in range(i):
-            acc = acc - L[..., i, k : k + 1] * rows[k]
-        rows.append(acc / L[..., i, i : i + 1])
-    Linv = jnp.stack(rows, axis=-2)
-    return jnp.einsum("...ki,...kj->...ij", Linv, Linv)
+            acc = acc - cols[k][i:i + 1] * rows[k]
+        rows.append(acc / cols[i][i:i + 1])
+    Linv = jnp.stack(rows, axis=0)                  # (m_row, m_col, Bf)
+    inv = jnp.einsum("kib,kjb->ijb", Linv, Linv)
+    return jnp.moveaxis(inv, -1, 0).reshape(lead + (m, m))
 
 
 # Above this size, the unrolled inverse is counterproductive: it emits
@@ -901,8 +911,13 @@ def build_solver(f_fn: Callable, cE_fn: Callable, cI_fn: Callable,
                 th2 = _red(jnp.sum(bnd.JEb_th ** 2, axis=1)) / dd
                 Gpp0 = (Wpp + (bnd.JE_sp.T @ bnd.JE_sp) / dd
                         + (E_th * th2[None, :]) @ E_th.T)
-                Gpq0 = Wpq.at[:, 2, :].add(
-                    jnp.einsum("kr,krb->kb", bnd.JEb_th, bnd.JEb_q) / dd)
+                # one-hot broadcast add, not .at[:, 2, :].add — offset
+                # updates on tiled minor dims hit the misaligned
+                # dynamic-update-slice scalar path (see obca_struct Hqq)
+                e_th_slot = jnp.zeros((_S,), dtype).at[2].set(1.0)
+                Gpq0 = Wpq + (e_th_slot[None, :, None]
+                              * jnp.einsum("kr,krb->kb", bnd.JEb_th,
+                                           bnd.JEb_q)[:, None, :] / dd)
                 Gqq0 = Wqq + jnp.einsum("krb,krc->kbc", bnd.JEb_q,
                                         bnd.JEb_q) / dd
                 eye_p = jnp.eye(n_p, dtype=dtype)
