@@ -377,9 +377,14 @@ def main():
                           feas_tol=1e-3, n_deltas=2, stall_iters=10,
                           stall_viol_gate=False, acceptable_iter=1,
                           n_backtracks=8, n_refine=1)
+    # n_refine=2 on the LAST rung: after the round-5 fused/recursive-
+    # inverse numerics, two fixture rows (76, 78) stall at KKT ~6e-3
+    # with one refinement pass; the second pass restores ladder
+    # feasibility 1.0000 at 129 steps/s (scripts/exp_r5_feas.py matrix:
+    # nr8=1 -> 0.9844 @ 137, nr8=2 -> 1.0000 @ 129, nd8=3 -> 0.9922).
     opt_fix8 = IPMOptions(max_iters=iters, tol=1e-4, acceptable_tol=5e-3,
                           feas_tol=1e-3, n_deltas=2, stall_iters=20,
-                          acceptable_iter=1, n_backtracks=8, n_refine=1)
+                          acceptable_iter=1, n_backtracks=8, n_refine=2)
     spec_fix8 = OBCASpec(N=Nf, n_obs=shape1.n_obs, e_max=shape1.e_max,
                          variant="fix_free_end")
     ms_fix = make_multistart_solver(
@@ -434,23 +439,25 @@ def main():
                                        u0=jnp.zeros(2, dtype),
                                        xref=xr, Ts=0.1)
     ))(x05, xref5)
-    solve5 = jax.jit(make_obca_solver(spec5, IPMOptions(
+    _solve5 = make_obca_solver(spec5, IPMOptions(
         max_iters=iters, tol=1e-4, acceptable_tol=5e-3, feas_tol=1e-3,
         n_deltas=1, n_refine=1, n_backtracks=8, acceptable_iter=1,
-    )), device=dev)
+    ))
+    # z0 construction happens IN-GRAPH (solve's z0=None path): the
+    # host-side eager init_vars per rep was ~100 ms of pure CPU op
+    # dispatch that polluted the latency quantiles
+    solve5 = jax.jit(lambda d: _solve5(d), device=dev)
     one = lambda i: jax.tree.map(lambda a: a[i], data5)
     d0 = jax.device_put(one(0), dev)
-    z0 = jax.device_put(init_vars(spec5, d0), dev)
     t0 = time.time()
-    r = solve5(d0, z0)
+    r = solve5(d0)
     _ = float(np.asarray(r.iters))
     log(f"replan N=5 compile+first: {time.time() - t0:.1f} s")
     feas5 = 0
     for i in range(reps_lat):
         di = jax.device_put(one(i), dev)
-        zi = jax.device_put(init_vars(spec5, di), dev)
         with lat.timer("replan_ms"):
-            r = solve5(di, zi)
+            r = solve5(di)
             feas5 += int(np.asarray(r.feas))  # blocks on completion
         lat.bump("replans")
     q = lat.quantiles("replan_ms")
@@ -465,15 +472,15 @@ def main():
     reps_fix = min(int(os.environ.get("BENCH_LAT_REPS", "30")), n_rows)
     one_fix = lambda i: (jax.tree.map(lambda a: a[i], datafix),
                          candsfix[i])
-    jms6 = jax.jit(ms_fix, device=dev)
-    jms8 = jax.jit(lambda d, c, z: ms_fix8(d, c, None, None, z),
-                   device=dev)
+    # ONE jitted dispatch for the whole gated mpc6 -> mpc8 ladder
+    # (round-5 verdict #6): the previous two-serial-dispatch form paid a
+    # second full dispatch latency exactly on the miss lanes, tripling
+    # p99 vs p50 (r4: 121.7 vs 38.7 ms). sol_fix runs mpc8 skip-gated
+    # in-graph — a feasible mpc6 makes the mpc8 while_loop 0-trip.
+    jlad = jax.jit(sol_fix, device=dev)
     d0f, c0f = one_fix(0)
-    r = jms6(jax.device_put(d0f, dev), jax.device_put(c0f, dev))[0]
+    r = jlad(jax.device_put(d0f, dev), jax.device_put(c0f, dev))
     _ = float(np.asarray(r.iters))
-    r8w = jms8(jax.device_put(d0f, dev), jax.device_put(c0f, dev),
-               dict(r.z))[0]
-    _ = float(np.asarray(r8w.iters))
     latf = MetricsLogger()
     feasf = 0
     for i in range(reps_fix):
@@ -481,11 +488,8 @@ def main():
         di = jax.device_put(di, dev)
         ci = jax.device_put(ci, dev)
         with latf.timer("replan_fix_ms"):
-            r = jms6(di, ci)[0]
+            r = jlad(di, ci)
             ok = bool(np.asarray(r.feas))  # fetch blocks (remote async)
-            if not ok:
-                r8 = jms8(di, ci, dict(r.z))[0]
-                ok = bool(np.asarray(r8.feas))
         feasf += int(ok)
     qf = latf.quantiles("replan_fix_ms")
     log(f"replan fix N={Nf} latency: p50 {qf['p50']:.1f} ms  "
@@ -556,6 +560,74 @@ def main():
     log(f"open-loop N=74: {[f'{x:.2f}' for x in t74s]} s  feas={feas74}  "
         f"iters={int(np.asarray(r74.iters))}  (reference: 136.69 s)")
 
+    # ---- horizon scaling table (round-5 verdict #3) ----------------------
+    # How solve cost scales with the MPC horizon N — the project's
+    # "sequence length" axis (SURVEY.md section 5: the reference handles
+    # long horizons by being slow). The problem family is EXACTLY the
+    # reference's own N-sweep benchmark, simulation.calc_time
+    # (src/simulation.py:225-231: open-loop free-time start->goal solves
+    # at growing N_free; published anchors 3.69 s @ N=10 and 136.69 s
+    # @ N=74): the same 5-candidate multistart open-loop solve the
+    # N74 headline entry runs, at each N.
+    REF_CALC_TIME = {10: 3.69, 74: 136.69}  # src/simulation.py:230-231
+    horizon = {}
+    if os.environ.get("BENCH_HORIZON", "1") == "1":
+        for N_h in (6, 10, 20, 40, 74):
+            spec_h = OBCASpec(N=N_h, n_obs=shape.n_obs, e_max=shape.e_max,
+                              variant="free")
+            xref_h = start_goal_reference(scn.start, scn.goal,
+                                          N_h).astype(dtype)
+            data_h = build_obca_data(
+                spec_h, scn, x0=scn.start, u0=jnp.zeros(2, dtype),
+                xref=xref_h, Ts=p9.Ts, q=p9.q_free, r1=p9.r1_free,
+                r2=p9.r2_free, v_max=p9.v_max, w_max=p9.w_max,
+                a_max=p9.a_max, alpha_max=p9.alpha_max, ego=p9.ego,
+                dmin=p9.dmin, time_c1=p9.time_c1, time_c2=p9.time_c2)
+            cands_h = jnp.stack([
+                xref_h,
+                start_goal_smooth_reference(scn.start, scn.goal,
+                                            N_h).astype(dtype),
+                _resampled_astar_init(scn, demo, N_h, dtype),
+                _resampled_astar_init(scn, demo, N_h, dtype, dilation=2,
+                                      align_start=True),
+                _resampled_astar_init(scn, demo, N_h, dtype, dilation=1,
+                                      align_start=True),
+            ])
+            ms_h = jax.jit(make_multistart_solver(
+                spec_h, make_obca_solver(spec_h, IPMOptions(
+                    max_iters=max(200, 4 * N_h), tol=1e-4,
+                    acceptable_tol=5e-3, feas_tol=1e-3, n_deltas=2)),
+                init_vars, 5), device=dev)
+            data_h = jax.device_put(data_h, dev)
+            cands_h = jax.device_put(cands_h, dev)
+            t0 = time.time()
+            r_h, _ = ms_h(data_h, cands_h)
+            _ = float(np.asarray(r_h.iters))
+            tc = time.time() - t0
+            best = 1e9
+            for i in range(3):
+                c_p = jax.device_put(jax.tree.map(
+                    lambda a: a * (1.0 + 1e-6 * (i + 1)), cands_h), dev)
+                t0 = time.time()
+                r_h, _ = ms_h(data_h, c_p)
+                it_h = int(np.asarray(r_h.iters))
+                best = min(best, time.time() - t0)
+            feas_h = bool(np.asarray(r_h.feas))
+            row = {
+                "s_per_solve": round(best, 4),
+                "solves_per_s": round(1.0 / best, 2),
+                "iters": it_h,
+                "feasible": feas_h,
+            }
+            if N_h in REF_CALC_TIME:
+                row["vs_reference"] = round(REF_CALC_TIME[N_h] / best, 1)
+            horizon[str(N_h)] = row
+            log(f"[horizon N={N_h}] {best:.3f} s/solve  feas {feas_h}  "
+                f"iters {it_h}"
+                + (f"  ({row['vs_reference']}x reference)"
+                   if "vs_reference" in row else "")
+                + f"  (compile {tc:.0f}s)")
+
     print(json.dumps({
         "metric": "obca_free_time_N10_solves_per_s",
         "value": round(solves_per_s, 2),
@@ -581,6 +653,7 @@ def main():
         "openloop_N74_s": round(t74, 3),
         "openloop_N74_feasible": feas74,
         "openloop_N74_vs_baseline": round(BASELINE_N74_S / t74, 1),
+        **({"horizon_scaling": horizon} if horizon else {}),
         **extra,
     }))
 

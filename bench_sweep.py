@@ -13,10 +13,22 @@ The reference has no analogue: its "sweep" is editing main.py per demo
 (src/main.py:11-27) and each closed-loop step is one serial IPOPT call
 (~0.1-1 s, src/closed_loop.py:380-398).
 
+Failure model (round-5 verdict #4/#5): a chunk that crashes the remote
+TPU worker is SPLIT IN HALF and both halves re-queued (down to
+SWEEP_MIN_CHUNK); a scenario is marked skipped only when it still
+crashes alone at the minimum width. The work queue and aggregates are
+checkpointed, so the resume wrapper (exit code 3 -> restart with
+SWEEP_RESUME=1) loses nothing. The scaling table is computed once and
+persisted in the checkpoint — resume runs re-emit it instead of
+skipping it (round-4 verdict #8).
+
 Prints ONE JSON line. Env knobs:
   SWEEP_N       total scenarios            (default 64)
   SWEEP_CHUNK   scenarios per device call  (default 32)
-  SWEEP_STEPS   closed-loop steps          (default 5)
+  SWEEP_STEPS   closed-loop steps          (default 5; goal-reaching
+                populations need >= 96 — the endpoint goldens measure
+                49-90 steps to the published-GIF goals)
+  SWEEP_MIN_CHUNK  smallest retry width before skipping (default 8)
   SWEEP_DEVS    comma list of device counts for the scaling table
                 (default "1,2" — this host has 2 physical cores; virtual
                 devices beyond the core count cannot speed up wall time)
@@ -95,6 +107,7 @@ def main():
     total = int(os.environ.get("SWEEP_N", "64"))
     chunk = int(os.environ.get("SWEEP_CHUNK", "32"))
     steps = int(os.environ.get("SWEEP_STEPS", "5"))
+    min_chunk = int(os.environ.get("SWEEP_MIN_CHUNK", "8"))
     devs = [int(d) for d in os.environ.get("SWEEP_DEVS", "1,2").split(",")]
     ckpt_dir = os.environ.get("SWEEP_DIR", "/tmp/obca_sweep")
     resume = os.environ.get("SWEEP_RESUME", "0") == "1"
@@ -195,22 +208,49 @@ def main():
         if nd > 1:
             eff[nd] = scaling[nd] / (nd * scaling[1])
 
-    # ---- the sweep proper: all chunks on the full mesh, checkpointed
+    # ---- the sweep proper: a WORK QUEUE of (lo, width) items on the
+    # full mesh, checkpointed. A crashed item splits in half and both
+    # halves re-queue (each width is its own jit specialization — paid
+    # only when a crash actually happens); a scenario is skipped only
+    # when it still crashes alone at min_chunk width.
     sroll, place = make_runner(max_dev)
     ckpt = SweepCheckpointer(ckpt_dir, keep=2)
-    start_chunk = 0
+    queue = [(ci * chunk, chunk) for ci in range(total // chunk)]
     agg = {"replans": 0, "reached": 0, "failed": 0, "scenarios": 0,
-           "wall_s": 0.0, "progress": 0.0, "skipped": 0}
+           "wall_s": 0.0, "progress": 0.0, "skipped": 0, "crashes": 0}
+    seq = 0
     if resume:
         step_id, tree = ckpt.latest()
         if step_id is not None:
-            start_chunk = int(tree["next_chunk"])
+            seq = int(step_id)
+            queue = [(int(lo), int(w)) for lo, w in
+                     np.asarray(tree["queue"]).reshape(-1, 2)]
             agg = {k: type(v)(tree["agg"].get(k, v)) for k, v in agg.items()}
-            log(f"resumed at chunk {start_chunk}: {agg}")
+            if not scaling and "scaling_devs" in tree:
+                scaling = {int(d): float(v) for d, v in zip(
+                    np.asarray(tree["scaling_devs"]),
+                    np.asarray(tree["scaling_vals"]))}
+                eff = {nd: scaling[nd] / (nd * scaling[1])
+                       for nd in scaling if nd > 1 and 1 in scaling}
+            log(f"resumed with {len(queue)} queued items: {agg}")
 
-    n_chunks = total // chunk
-    for ci in range(start_chunk, n_chunks):
-        sl = slice(ci * chunk, (ci + 1) * chunk)
+    def save_ckpt(extra=None):
+        tree = {
+            "queue": np.asarray(queue, np.int64).reshape(-1, 2),
+            "agg": {k: np.asarray(v) for k, v in agg.items()},
+            "scaling_devs": np.asarray(sorted(scaling), np.int64),
+            "scaling_vals": np.asarray(
+                [scaling[d] for d in sorted(scaling)]),
+        }
+        tree.update(extra or {})
+        ckpt.save(seq, tree)
+
+    if not resume:
+        save_ckpt()  # persist the scaling table before the first chunk
+
+    while queue:
+        lo, w = queue[0]
+        sl = slice(lo, lo + w)
         cscn = jax.tree.map(lambda a: np.asarray(a)[sl], scn_all)
         args = place((cscn, refs[sl], ref_lens[sl]))
         try:
@@ -223,21 +263,28 @@ def main():
                 dt = time.time() - t0
         except Exception as e:
             # Elastic recovery (SURVEY section 5): the remote TPU worker
-            # can crash mid-execution (observed: a specific 64-wide
-            # 30-step program faults the worker on one chunk's data
-            # while the same lanes pass in smaller programs — a backend
-            # bug we must survive). The backend is dead for this
-            # process, so: checkpoint the chunk as SKIPPED, exit 3; the
-            # resume wrapper restarts and continues past it.
-            log(f"chunk {ci + 1}/{n_chunks} crashed the backend "
-                f"({type(e).__name__}: {str(e)[:120]}) — marking "
-                f"skipped, exiting for restart")
-            agg["skipped"] += chunk
-            ckpt.save(ci + 1, {
-                "next_chunk": np.asarray(ci + 1),
-                "agg": {k: np.asarray(v) for k, v in agg.items()},
-            })
+            # can crash mid-execution (observed round 4: a specific
+            # 64-wide 30-step program faults the worker on one chunk's
+            # data while the same lanes pass in smaller programs). The
+            # backend is dead for this process: split-and-requeue (or
+            # skip at min width), checkpoint, exit 3 for the resume
+            # wrapper to restart.
+            queue.pop(0)
+            agg["crashes"] += 1
+            if w > min_chunk:
+                h = w // 2
+                queue[:0] = [(lo, h), (lo + h, h)]
+                log(f"item ({lo}, w={w}) crashed the backend "
+                    f"({type(e).__name__}: {str(e)[:120]}) — requeued "
+                    f"as 2x width {h}, exiting for restart")
+            else:
+                agg["skipped"] += w
+                log(f"item ({lo}, w={w}) crashed at minimum width "
+                    f"({type(e).__name__}) — marking {w} skipped")
+            seq += 1
+            save_ckpt()
             raise SystemExit(3)
+        queue.pop(0)
         # goal progress 1 - d_end/d0 per scenario (caps cannot reach
         # every goal in `steps` steps; reached_frac alone under-reports)
         s_np = np.asarray(cscn.start)[:, :2]
@@ -248,16 +295,16 @@ def main():
         agg["replans"] += int(np.asarray(traj["active"]).sum())
         agg["reached"] += int(np.asarray(final.reached).sum())
         agg["failed"] += int(np.asarray(final.failed).sum())
-        agg["scenarios"] += chunk
+        agg["scenarios"] += w
         agg["wall_s"] += dt
-        ckpt.save(ci + 1, {
-            "next_chunk": np.asarray(ci + 1),
-            "agg": {k: np.asarray(v) for k, v in agg.items()},
+        seq += 1
+        save_ckpt({
             "final_x0": np.asarray(final.x0),
             "final_reached": np.asarray(final.reached),
             "final_failed": np.asarray(final.failed),
         })
-        log(f"chunk {ci+1}/{n_chunks}: {dt:.2f}s  agg {agg}")
+        log(f"item ({lo}, w={w}) done in {dt:.2f}s  "
+            f"({len(queue)} items left)  agg {agg}")
 
     replans_per_s = agg["replans"] / max(agg["wall_s"], 1e-9)
     # each scan step solves 2 free + 5 fix-terminal + 5 no-terminal NLPs
@@ -277,6 +324,8 @@ def main():
         "mean_progress_frac": round(
             agg["progress"] / max(agg["scenarios"], 1), 4),
         "skipped_scenarios": agg["skipped"],
+        "worker_crashes": agg["crashes"],
+        "steps": steps,
         "scaling_replans_per_s": {str(k): round(v, 2)
                                   for k, v in scaling.items()},
         "scaling_efficiency": {str(k): round(v, 3) for k, v in eff.items()},

@@ -54,8 +54,6 @@ class LoopState(NamedTuple):
     Ts_opt: jnp.ndarray    # () last optimal step duration
     dyn_pos: jnp.ndarray   # (nD, 2)
     prev_plan: jnp.ndarray  # (3, N+1)
-    prev_lam: jnp.ndarray  # (n_k, nO, E) previous step's OBCA duals
-    prev_mu: jnp.ndarray   # (n_k, nO, 4)
     k: jnp.ndarray         # () int32
     active: jnp.ndarray    # () bool — still replanning
     reached: jnp.ndarray   # () bool
@@ -65,20 +63,25 @@ class LoopState(NamedTuple):
 def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                       max_steps: int = 30,
                       options: IPMOptions | None = None,
-                      dtype=jnp.float32, warm_duals: bool = False,
+                      dtype=jnp.float32,
                       qr_rescue: bool = True):
     """Build ``rollout(scn, ref_path, ref_len) -> (final_state, traj)``.
 
     ref_path: (3, L) reference (padding: repeat the last column);
     ref_len: () number of valid columns. jit/vmap/pjit the result freely.
 
-    ``warm_duals`` shift-warm-starts each replan's window/shifted-prev
-    candidates from the previous step's converged OBCA multipliers
-    (multistart ``warm=``) instead of the geometric ``init_duals`` —
-    the receding-horizon warm start the reference never had (it
-    cold-starts CasADi per replan, src/obca.py:839-856). Off by default:
-    it selects the same optima but changes iteration counts, and the
-    golden host-parity fixtures were recorded without it.
+    Note on dual warm starts: shift-warm-starting each replan's
+    window/shifted-prev candidates from the previous step's converged
+    OBCA multipliers (multistart ``warm=``, exercised by
+    tests/test_multistart.py) was measured wall-time NEUTRAL on the
+    production ladder in rounds 4 AND 5 (scripts/exp_r5_feas.py
+    ``bench`` vs ``warm``: 129.0 vs 129.1 steps/s at feasibility
+    1.0000; iteration p90 58 -> 52) — the batch wall time is set by
+    the rescue lanes, whose brake/dodge candidates have no warm-
+    startable predecessor. The loop therefore does not carry previous
+    duals (smaller carry + compiled program, which also helps remote-
+    worker stability); the ``warm=`` plumbing remains for callers
+    with a measured win.
     """
     if p.N_free != p.N_fix:
         raise NotImplementedError("scanned loop requires N_fix == N_free")
@@ -149,12 +152,7 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
         )(scn.dyn_info)[:, :4]  # (nD, 4, 2)
 
         def step(st: LoopState, _):
-            # receding-horizon dual shift: window moved one step forward,
-            # so step j's multipliers start from the previous plan's j+1
-            warm = None
-            if warm_duals:
-                shift1 = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
-                warm = (shift1(st.prev_lam), shift1(st.prev_mu), st.k > 0)
+            warm = None  # see the docstring note on dual warm starts
             # 1. world update (src/closed_loop.py:445-486)
             started = st.k > scn.d_start_time
             dyn_pos = st.dyn_pos + jnp.where(
@@ -292,16 +290,6 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             x0_new = jnp.where(ok, x_plan[:, 1], st.x0).astype(dtype)
             u0_new = jnp.where(ok, u_plan[:, 0], st.u0).astype(dtype)
             prev_new = jnp.where(ok, x_plan, st.prev_plan).astype(dtype)
-            # explicit casts: under the x64 test config an f32 rollout's
-            # solver results promote to f64 through the f64 z_scale
-            # constants (caught by the f32 demo-gate test) — the carry
-            # must keep the rollout dtype
-            lam_new = jnp.where(
-                ok, pick(res_fix.z["lam"], res_free.z["lam"]),
-                st.prev_lam).astype(dtype)
-            mu_new = jnp.where(
-                ok, pick(res_fix.z["mu"], res_free.z["mu"]),
-                st.prev_mu).astype(dtype)
             reached = ((x0_new[0] - scn.goal[0]) ** 2
                        + (x0_new[1] - scn.goal[1]) ** 2) < 0.1
             failed = st.failed | (st.active & ~feas)
@@ -314,8 +302,6 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
                 Ts_opt=jnp.where(ok, Ts_opt_new, st.Ts_opt).astype(dtype),
                 dyn_pos=jnp.where(st.active, dyn_pos, st.dyn_pos),
                 prev_plan=prev_new,
-                prev_lam=lam_new,
-                prev_mu=mu_new,
                 k=st.k + st.active.astype(jnp.int32),
                 active=active_new,
                 reached=st.reached | (st.active & reached),
@@ -335,9 +321,6 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             Ts_opt=jnp.asarray(p.Ts, dtype),
             dyn_pos=spawn.astype(dtype),
             prev_plan=jnp.tile(scn.start.astype(dtype)[:, None], (1, N + 1)),
-            prev_lam=jnp.zeros(
-                (spec_free.n_k, shape.n_obs, shape.e_max), dtype),
-            prev_mu=jnp.zeros((spec_free.n_k, shape.n_obs, 4), dtype),
             k=jnp.asarray(0, jnp.int32),
             active=jnp.asarray(True),
             reached=jnp.asarray(False),
