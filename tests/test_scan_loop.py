@@ -103,6 +103,33 @@ def test_scan_vmap_shards_over_mesh():
     np.testing.assert_allclose(xs[0], xs[1], atol=1e-9)
 
 
+def test_chunked_dispatch_matches_single_scan():
+    """The state-carrying entry (``rollout(..., st0=...)``) must make two
+    chained 2-step dispatches exactly equivalent to one 4-step scan — the
+    program-split workaround for the remote worker's long-execution
+    crashes (bench_sweep.py docstring) relies on this."""
+    dtype = jnp.float64
+    demo, scn, shape, ref, L = _demo1_setup(dtype)
+    p = default_params_for("demo1")
+
+    roll4 = make_scan_rollout(shape, p, max_steps=4, dtype=dtype)
+    final4, traj4 = jax.jit(roll4)(scn, ref, jnp.asarray(L))
+
+    roll2 = make_scan_rollout(shape, p, max_steps=2, dtype=dtype)
+    j2 = jax.jit(roll2)
+    st = roll2.initial_state(scn)
+    mid, trajA = j2(scn, ref, jnp.asarray(L), st)
+    fin, trajB = j2(scn, ref, jnp.asarray(L), mid)
+
+    xs4 = np.asarray(traj4["x"])
+    xs2 = np.concatenate([np.asarray(trajA["x"]), np.asarray(trajB["x"])])
+    np.testing.assert_allclose(xs2, xs4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fin.x0), np.asarray(final4.x0),
+                               atol=1e-9)
+    assert bool(fin.active) == bool(final4.active)
+    assert int(fin.k) == int(final4.k)
+
+
 def test_scan_requires_equal_horizons():
     """The scanned loop supports only N_fix == N_free (true for every
     shipped demo; the host driver handles the general reinterpolation).

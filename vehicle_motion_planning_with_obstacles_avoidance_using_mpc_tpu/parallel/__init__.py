@@ -12,6 +12,7 @@ from .mesh import (
     shard_along,
     sharded_batch_solver,
     sharded_rollout,
+    sharded_rollout_from,
     init_distributed,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "shard_along",
     "sharded_batch_solver",
     "sharded_rollout",
+    "sharded_rollout_from",
     "init_distributed",
 ]

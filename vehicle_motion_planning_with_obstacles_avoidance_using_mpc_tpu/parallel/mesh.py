@@ -60,3 +60,20 @@ def sharded_rollout(rollout, mesh: Mesh, axis: str = "scenario"):
 
     return jax.jit(run, in_shardings=(shard, shard, shard),
                    out_shardings=shard)
+
+
+def sharded_rollout_from(rollout, mesh: Mesh, axis: str = "scenario"):
+    """Like :func:`sharded_rollout` but state-carrying: the returned
+    ``run(st, scnb, refb, ref_lenb)`` resumes each lane from its
+    ``LoopState`` — the chunked-dispatch form (short executions chained
+    on the host) that the sweep uses on the crash-prone remote backend."""
+    vroll = jax.vmap(lambda st, scn, ref, rl: rollout(scn, ref, rl, st))
+    shard = NamedSharding(mesh, P(axis))
+
+    def run(stb, scnb, refb, ref_lenb):
+        args = jax.lax.with_sharding_constraint(
+            (stb, scnb, refb, ref_lenb), shard)
+        return vroll(*args)
+
+    return jax.jit(run, in_shardings=(shard, shard, shard, shard),
+                   out_shardings=shard)

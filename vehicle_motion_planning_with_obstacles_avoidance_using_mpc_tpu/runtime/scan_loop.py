@@ -135,7 +135,23 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             spec_fix8, make_obca_solver(spec_fix8, opt_qr), init_vars,
             N_CAND_FREE)
 
-    def rollout(scn: Scenario, ref_path, ref_len):
+    def initial_state(scn: Scenario) -> LoopState:
+        """Fresh per-scenario loop state (also the carry format between
+        chunked dispatches — see ``rollout``'s ``st0``)."""
+        return LoopState(
+            x0=scn.start.astype(dtype),
+            u0=jnp.zeros((2,), dtype),
+            Ts_cur=jnp.asarray(p.Ts, dtype),
+            Ts_opt=jnp.asarray(p.Ts, dtype),
+            dyn_pos=scn.dyn_info[:, :2].astype(dtype),
+            prev_plan=jnp.tile(scn.start.astype(dtype)[:, None], (1, N + 1)),
+            k=jnp.asarray(0, jnp.int32),
+            active=jnp.asarray(True),
+            reached=jnp.asarray(False),
+            failed=jnp.asarray(False),
+        )
+
+    def rollout(scn: Scenario, ref_path, ref_len, st0: LoopState | None = None):
         ref_path = jnp.asarray(ref_path, dtype)
         nD = scn.dyn_info.shape[0]
         spawn = scn.dyn_info[:, :2]
@@ -314,19 +330,16 @@ def make_scan_rollout(shape: ShapeSpec, p: MPCParams = MPCParams(),
             }
             return new, out
 
-        st0 = LoopState(
-            x0=scn.start.astype(dtype),
-            u0=jnp.zeros((2,), dtype),
-            Ts_cur=jnp.asarray(p.Ts, dtype),
-            Ts_opt=jnp.asarray(p.Ts, dtype),
-            dyn_pos=spawn.astype(dtype),
-            prev_plan=jnp.tile(scn.start.astype(dtype)[:, None], (1, N + 1)),
-            k=jnp.asarray(0, jnp.int32),
-            active=jnp.asarray(True),
-            reached=jnp.asarray(False),
-            failed=jnp.asarray(False),
-        )
+        if st0 is None:
+            st0 = initial_state(scn)
         final, traj = jax.lax.scan(step, st0, None, length=max_steps)
         return final, traj
 
+    # State-carrying entry for chunked dispatch: running a long rollout as
+    # several short ``rollout(..., st0=prev_final)`` executions is exactly
+    # equivalent to one long scan (the carry is the full loop state), and
+    # keeps each device execution short — the remote-TPU worker
+    # deterministically crashes on single executions past roughly a
+    # minute (round-5 diagnosis, see bench_sweep.py docstring).
+    rollout.initial_state = initial_state
     return rollout
