@@ -15,17 +15,23 @@ The reference has no analogue: its "sweep" is editing main.py per demo
 
 Execution engine (round 5). Two measured problems shaped it:
 
-1. REMOTE-WORKER CRASH DIAGNOSIS (round-4/5 verdict #5): the remote TPU
-   worker deterministically crashes on long single executions, not on
-   specific lanes or widths — width 32 x 30-step programs (~27 s) always
-   passed, width 64 x 30 steps (~55 s) crashed, and round 5 reproduced
-   the crash on the FIRST execution of a width-32 x 96-step program
-   (~90 s) whose 30-step sibling was stable. The workaround is the
-   program split: the scan rollout exposes a state-carrying entry
-   (runtime/scan_loop.py rollout(..., st0=...)), and the sweep chains
-   SWEEP_STEP_CHUNK-step dispatches — each device execution stays ~10-20 s,
-   under the observed crash threshold. Equivalence is exact (the carry is
-   the full loop state; tests/test_scan_loop.py::test_chunked_dispatch).
+1. REMOTE-WORKER CRASH DIAGNOSIS (round-4/5 verdict #5). Round-4 data
+   said "width 64 crashes, width 32 passes"; the round-5 bisect (full
+   evidence table in docs/remote_worker_crash.md) refined it in two
+   steps. (a) Long single executions crash regardless of width: a
+   width-32 x 96-step program (~90 s) crashed on its FIRST execution
+   while its 30-step sibling (~27 s) was stable — hence the program
+   split: the scan rollout exposes a state-carrying entry
+   (runtime/scan_loop.py rollout(..., st0=...), exactly equivalent to
+   one long scan — tests/test_scan_loop.py::test_chunked_dispatch), and
+   the sweep chains SWEEP_STEP_CHUNK-step dispatches. (b) With short
+   dispatches, the remaining crashes isolate to PHASE-MIXED packs:
+   every dispatch whose lanes sat at one common step count passed —
+   including heavy fix-ladder windows — while every dispatch mixing
+   lanes at different step counts (0/16/24 in one pack) crashed, at
+   every width (32/64/128) and step chunk (8/16) tried. The packing
+   below is therefore phase-aligned, which also matches why round 4's
+   fixed aligned chunks ran a 1024-scenario sweep crash-free.
 
 2. CONVOY WASTE: a fixed scenario-chunk rollout pays max-lane wall time —
    scenarios that reach their goal at step 40 ride along to step 96.
@@ -139,6 +145,8 @@ def main():
     ckpt_dir = os.environ.get("SWEEP_DIR", "/tmp/obca_sweep")
     resume = os.environ.get("SWEEP_RESUME", "0") == "1"
     seed = int(os.environ.get("SWEEP_SEED", "0"))
+    qr = os.environ.get("SWEEP_QR", "1") == "1"
+    kkt = os.environ.get("SWEEP_KKT", "")  # "" = solver default (fused)
 
     if accel:
         devs = [1]  # one real TPU chip behind the tunnel
@@ -211,7 +219,22 @@ def main():
     assert (ref_lens > 1).all(), "unreachable scenario generated"
     scn_np = {k: np.asarray(v) for k, v in scn_all._asdict().items()}
 
-    roll = make_scan_rollout(shape, p, max_steps=S, dtype=dtype)
+    # SWEEP_QR=0 drops the QR rescue rungs: a smaller compiled
+    # program the remote worker is markedly more stable executing
+    # (scan_loop.py qr_rescue note) at the cost of more failed
+    # scenarios on degenerate-contact steps. SWEEP_KKT=arrow swaps the
+    # round-5 fused Newton body for the round-4 arrow program (slower
+    # per iteration, but the program family whose 30-step dispatches ran
+    # a full 1024-scenario sweep crash-free in round 4).
+    opt_scan = None
+    if kkt:
+        from vehicle_motion_planning_with_obstacles_avoidance_using_mpc_tpu.solver import (
+            IPMOptions,
+        )
+        opt_scan = IPMOptions(max_iters=100, acceptable_tol=5e-3,
+                              feas_tol=1e-4, kkt=kkt)
+    roll = make_scan_rollout(shape, p, max_steps=S, dtype=dtype,
+                             qr_rescue=qr, options=opt_scan)
 
     def make_runner(nd):
         """(runner(st, scn, refs, lens) -> (final, traj), place(tree))."""
@@ -328,11 +351,19 @@ def main():
     # done (reached / failed / out of step budget) or skipped.
     while not done.all():
         idx = np.flatnonzero(~done)
-        # rotate the packing after a crash so a retry executes different
-        # lane contents (diagnosis found duration, not data, to be the
-        # trigger — the rotation is cheap insurance either way)
+        # PHASE-ALIGNED packing (round-5 bisect, see the docstring): every
+        # phase-aligned dispatch — all lanes at the same steps_used —
+        # passed, including heavy fix-ladder windows, while every
+        # phase-MIXED pack (lanes at steps 0/16/24 in one dispatch)
+        # crashed the worker, at every width and step-chunk tried. Pack
+        # the lowest-steps_used group first (a breadth-first wave), never
+        # mixing groups; the tail pads with retired 0-trip lanes.
+        su = steps_used[idx]
+        idx = idx[su == su.min()]
+        # rotate within the aligned group after a crash so a retry runs
+        # different scenarios and the suspect window re-queues behind
         if agg["crash_streak"] > 0:
-            idx = np.roll(idx, -agg["crash_streak"])
+            idx = np.roll(idx, -agg["crash_streak"] * width)
         idx = idx[:width]
         n_real = len(idx)
         if n_real < width:
@@ -358,7 +389,9 @@ def main():
         except Exception as e:
             agg["crashes"] += 1
             agg["crash_streak"] += 1
-            log(f"dispatch (n={n_real}, head={idx[0]}) crashed the "
+            log(f"dispatch (n={n_real}, head={idx[0]}, "
+                f"idx[:8]={idx[:8].tolist()}, "
+                f"steps_used={int(steps_used[idx[0]])}) crashed the "
                 f"backend ({type(e).__name__}: {str(e)[:120]}) — "
                 f"streak {agg['crash_streak']}")
             if agg["crash_streak"] >= crash_limit:
@@ -380,11 +413,10 @@ def main():
         seq += 1
         save_ckpt()
         n_done = int(done.sum())
-        if agg["dispatches"] % 10 == 1 or done.all():
-            log(f"dispatch {agg['dispatches']}: {n_real} lanes, {dt:.2f}s  "
-                f"({n_done}/{total} done, "
-                f"reached {int(pool['reached'].sum())}, "
-                f"failed {int(pool['failed'].sum())})")
+        log(f"dispatch {agg['dispatches']}: {n_real} lanes, {dt:.2f}s  "
+            f"({n_done}/{total} done, "
+            f"reached {int(pool['reached'].sum())}, "
+            f"failed {int(pool['failed'].sum())})")
 
     replans_per_s = agg["replans"] / max(agg["wall_s"], 1e-9)
     # each scan step solves 2 free + 5 fix-terminal + 5 no-terminal NLPs
