@@ -347,6 +347,54 @@ def main():
     if seq == 0:
         save_ckpt()  # persist the scaling table before the first dispatch
 
+    def summary(partial=False):
+        """Output dict from the current pool state. Also written to
+        <ckpt_dir>/partial.json after every dispatch so a sweep cut
+        short by the round clock leaves an honest artifact (marked
+        partial) instead of nothing."""
+        replans_per_s = agg["replans"] / max(agg["wall_s"], 1e-9)
+        # each scan step solves 2 free + 5 fix-terminal + 5 no-terminal
+        # NLPs (runtime/scan_loop.py multistart widths)
+        n_reached = int(pool["reached"].sum())
+        n_failed = int(pool["failed"].sum())
+        s_np = np.asarray(scn_np["start"])[:, :2]
+        g_np = np.asarray(scn_np["goal"])[:, :2]
+        d0 = np.linalg.norm(s_np - g_np, axis=1)
+        d_end = np.linalg.norm(pool["x0"][:, :2] - g_np, axis=1)
+        progress = float(np.mean(1.0 - d_end / np.maximum(d0, 1e-9)))
+        out = {
+            "metric": "sweep_replans_per_s",
+            "value": round(replans_per_s, 2),
+            "unit": "replans/s",
+            # reference closed-loop replan ~0.1-1 s
+            # (src/closed_loop.py:380-398 structure); 1 replan/s is its
+            # optimistic rate
+            "vs_baseline": round(replans_per_s, 2),
+            "nlp_solves_per_s": round(replans_per_s * 12, 2),
+            "scenarios": total,
+            "completed_scenarios": int(done.sum()),
+            "reached_frac": round(n_reached / total, 4),
+            "failed_frac": round(n_failed / total, 4),
+            "mean_progress_frac": round(progress, 4),
+            "steps_to_goal_p50": float(np.median(steps_used[pool["reached"]]))
+            if n_reached else None,
+            "skipped_scenarios": int(skipped.sum()),
+            "worker_crashes": agg["crashes"],
+            "step_budget": steps,
+            "step_chunk": S,
+            "dispatch_width": width,
+            "dispatches": agg["dispatches"],
+            "scaling_replans_per_s": {str(k): round(v, 2)
+                                      for k, v in scaling.items()},
+            "scaling_efficiency": {str(k): round(v, 3)
+                                   for k, v in eff.items()},
+            "physical_cores": os.cpu_count(),
+            "dispatch_ms": metrics.quantiles("dispatch_ms"),
+        }
+        if partial:
+            out["partial"] = True
+        return out
+
     # ---- the sweep proper: repacked dispatches until every scenario is
     # done (reached / failed / out of step budget) or skipped.
     while not done.all():
@@ -412,50 +460,15 @@ def main():
         agg["wall_s"] += dt
         seq += 1
         save_ckpt()
+        with open(os.path.join(ckpt_dir, "partial.json"), "w") as f:
+            json.dump(summary(partial=True), f)
         n_done = int(done.sum())
         log(f"dispatch {agg['dispatches']}: {n_real} lanes, {dt:.2f}s  "
             f"({n_done}/{total} done, "
             f"reached {int(pool['reached'].sum())}, "
             f"failed {int(pool['failed'].sum())})")
 
-    replans_per_s = agg["replans"] / max(agg["wall_s"], 1e-9)
-    # each scan step solves 2 free + 5 fix-terminal + 5 no-terminal NLPs
-    # (runtime/scan_loop.py multistart widths)
-    nlp_per_s = replans_per_s * 12
-    n_reached = int(pool["reached"].sum())
-    n_failed = int(pool["failed"].sum())
-    s_np = np.asarray(scn_np["start"])[:, :2]
-    g_np = np.asarray(scn_np["goal"])[:, :2]
-    d0 = np.linalg.norm(s_np - g_np, axis=1)
-    d_end = np.linalg.norm(pool["x0"][:, :2] - g_np, axis=1)
-    progress = float(np.mean(1.0 - d_end / np.maximum(d0, 1e-9)))
-    out = {
-        "metric": "sweep_replans_per_s",
-        "value": round(replans_per_s, 2),
-        "unit": "replans/s",
-        # reference closed-loop replan ~0.1-1 s (src/closed_loop.py:380-398
-        # structure); use 1 replan/s as its optimistic rate
-        "vs_baseline": round(replans_per_s, 2),
-        "nlp_solves_per_s": round(nlp_per_s, 2),
-        "scenarios": total,
-        "reached_frac": round(n_reached / total, 4),
-        "failed_frac": round(n_failed / total, 4),
-        "mean_progress_frac": round(progress, 4),
-        "steps_to_goal_p50": float(np.median(steps_used[pool["reached"]]))
-        if n_reached else None,
-        "skipped_scenarios": int(skipped.sum()),
-        "worker_crashes": agg["crashes"],
-        "step_budget": steps,
-        "step_chunk": S,
-        "dispatch_width": width,
-        "dispatches": agg["dispatches"],
-        "scaling_replans_per_s": {str(k): round(v, 2)
-                                  for k, v in scaling.items()},
-        "scaling_efficiency": {str(k): round(v, 3) for k, v in eff.items()},
-        "physical_cores": os.cpu_count(),
-        "dispatch_ms": metrics.quantiles("dispatch_ms"),
-    }
-    print(json.dumps(out))
+    print(json.dumps(summary()))
 
 
 if __name__ == "__main__":
