@@ -636,6 +636,13 @@ def main():
                 "iters": it_h,
                 "feasible": feas_h,
             }
+            if N_h * p9.Ts * p9.v_max * 2.0 < float(jnp.linalg.norm(
+                    scn.goal[:2] - scn.start[:2])):
+                # a horizon this short cannot span start->goal even at
+                # v_max with the Topt<=~2 time-scale bound — the solve
+                # (correctly) reports infeasible; the row still records
+                # the full-effort solve cost at this N
+                row["note"] = "horizon physically too short for start->goal"
             if N_h in REF_CALC_TIME:
                 row["vs_reference"] = round(REF_CALC_TIME[N_h] / best, 1)
             horizon[str(N_h)] = row
